@@ -1,10 +1,15 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship query smoke check at sf0.001.
+``queries()`` — one callable per implemented operator (SURVEY.md §2).
+``oracle_sql()`` — DuckDB-dialect SQL computing the IDENTICAL algorithm for
+each query, for the driver's value-hash comparison at sf0.01.
+
+Sketch estimates are approximate relative to the *true* quantiles, but fully
+deterministic given the algorithm — so the oracle re-executes the algorithm
+itself (same literals, same operation order, integer counts), not the exact
+answer.  Estimates are rounded to 6 decimals on both sides to absorb last-ulp
+libm differences between the JVM and DuckDB.
 """
 
 from __future__ import annotations
@@ -12,27 +17,173 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from sketches_go_spark.core.ddsketch import DDSketchConfig
+from sketches_go_spark.functions import ddsketch_fns as dd
+from sketches_go_spark.functions import oracles
+from sketches_go_spark.sources.transcripts import transcripts_from_events, transcripts_sql
+
+ALPHA = 0.01
+CFG = DDSketchConfig(alpha=ALPHA)
+QS = (0.5, 0.95, 0.99)
+PIVOT = {"p50": 0.5, "p95": 0.95, "p99": 0.99}
+
+_TRANSCRIPTS = f"({transcripts_sql('events')})"
+
+
+# --------------------------------------------------------------------- inputs
+def _text_len_by_role(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = transcripts_from_events(spark, sf_dir)
+    return t.select("role", F.length("text").cast("double").alias("v"))
+
+
+_TEXT_LEN_MEASURE_SQL = (
+    f"SELECT role, cast(length(text) AS double) AS v FROM {_TRANSCRIPTS} t"
+)
+
+
+def _latency_by_tool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = transcripts_from_events(spark, sf_dir)
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    # ts arrives as TIMESTAMP_NTZ from parquet; cast for unix_micros — any
+    # session-tz offset cancels in the lag difference
+    micros = F.unix_micros(F.col("ts").cast("timestamp"))
+    lat = (micros - F.lag(micros).over(w)).cast("double") / F.lit(1000000.0)
+    return (
+        t.select("tool", lat.alias("v"))
+        .where(F.col("tool").isNotNull() & F.col("v").isNotNull())
+    )
+
+
+_LATENCY_MEASURE_SQL = f"""
+SELECT tool, v FROM (
+  SELECT tool,
+         cast(epoch_us(ts) - lag(epoch_us(ts))
+              OVER (PARTITION BY conv_id ORDER BY turn_idx) AS double) / 1000000.0 AS v
+  FROM {_TRANSCRIPTS} t
+) WHERE tool IS NOT NULL AND v IS NOT NULL
+"""
+
+_EVENT_VALUE_MEASURE_SQL = (
+    "SELECT event_type, cast(value AS double) AS v FROM events"
+)
+
+
+def _events_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return ev.select("event_type", F.col("value").cast("double").alias("v"))
+
+
+# -------------------------------------------------------------------- queries
+def q_ddsketch_quantiles_value_by_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relational DDSketch path: p50/p95/p99 of events.value per event_type."""
+    return dd.quantiles_from_bins(
+        dd.build_bins(_events_value(spark, sf_dir), "v", ["event_type"], CFG),
+        ["event_type"],
+        QS,
+        CFG,
+    ).orderBy("event_type", "q")
+
+
+def q_ddsketch_textlen_by_role(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """p50/p95/p99 of length(text) per role over the transcripts derivation."""
+    return dd.ddsketch_quantiles_relational(
+        _text_len_by_role(spark, sf_dir), "v", ["role"], QS, CFG
+    ).orderBy("role", "q")
+
+
+def q_ddsketch_latency_by_tool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-turn latency quantiles per tool (ts deltas over the conv window)."""
+    return dd.ddsketch_quantiles_relational(
+        _latency_by_tool(spark, sf_dir), "v", ["tool"], QS, CFG
+    ).orderBy("tool", "q")
+
+
+def q_ddsketch_bins_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The raw bins relation (sign, bucket, count) per role — the exact
+    sketch state, strongest oracle (all-integer comparison)."""
+    bins = dd.build_bins(_text_len_by_role(spark, sf_dir), "v", ["role"], CFG)
+    return bins.select(
+        "role", "sign", "bucket", F.col("count").alias("cnt")
+    ).orderBy("role", "sign", "bucket")
+
+
+def q_ddsketch_summary_by_role(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count / approx sum / approx min / approx max per role from bins."""
+    bins = dd.build_bins(_text_len_by_role(spark, sf_dir), "v", ["role"], CFG)
+    return dd.summary_from_bins(bins, ["role"], CFG).orderBy("role")
+
+
+def q_ddsketch_udaf_textlen_by_role(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UDAF path (two-phase mapInPandas partial -> merge): same quantiles as
+    the relational path, via the encoded-sketch value column."""
+    sketches = dd.ddsketch_agg(
+        _text_len_by_role(spark, sf_dir), "v", ["role"], CFG
+    )
+    out = dd.with_summary(dd.with_quantiles(sketches, QS, prefix="p"))
+    return out.select("role", "cnt", "p50", "p95", "p99").orderBy("role")
+
+
+def q_ddsketch_collapsed_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collapsing-lowest store (max_bins=32) over latencies — bounded-memory
+    semantics, relationally."""
+    cfg = DDSketchConfig(alpha=ALPHA, max_bins=32, collapse="lowest")
+    bins = dd.build_bins(_latency_by_tool(spark, sf_dir), "v", ["tool"], cfg)
+    return bins.select(
+        "tool", "sign", "bucket", F.col("count").alias("cnt")
+    ).orderBy("tool", "sign", "bucket")
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: per-tool p50/p95/p99 inter-turn latency (DDSketch relational
+    path over the transcripts derivation) at sf0.001."""
+    return q_ddsketch_latency_by_tool(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "ddsketch_quantiles_value_by_event_type": q_ddsketch_quantiles_value_by_event_type,
+        "ddsketch_textlen_by_role": q_ddsketch_textlen_by_role,
+        "ddsketch_latency_by_tool": q_ddsketch_latency_by_tool,
+        "ddsketch_bins_histogram": q_ddsketch_bins_histogram,
+        "ddsketch_summary_by_role": q_ddsketch_summary_by_role,
+        "ddsketch_udaf_textlen_by_role": q_ddsketch_udaf_textlen_by_role,
+        "ddsketch_collapsed_bins": q_ddsketch_collapsed_bins,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    collapsed_cfg = DDSketchConfig(alpha=ALPHA, max_bins=32, collapse="lowest")
+    return {
+        "ddsketch_quantiles_value_by_event_type": oracles.ddsketch_quantiles_sql(
+            _EVENT_VALUE_MEASURE_SQL, ["event_type"], QS, CFG,
+            order_by="event_type, q",
+        ),
+        "ddsketch_textlen_by_role": oracles.ddsketch_quantiles_sql(
+            _TEXT_LEN_MEASURE_SQL, ["role"], QS, CFG, order_by="role, q"
+        ),
+        "ddsketch_latency_by_tool": oracles.ddsketch_quantiles_sql(
+            _LATENCY_MEASURE_SQL, ["tool"], QS, CFG, order_by="tool, q"
+        ),
+        "ddsketch_bins_histogram": (
+            "WITH "
+            + oracles.ddsketch_bins_sql(_TEXT_LEN_MEASURE_SQL, ["role"], CFG)
+            + "\nSELECT role, sign, bucket, count AS cnt FROM sgs_bins"
+            " ORDER BY role, sign, bucket"
+        ),
+        "ddsketch_summary_by_role": oracles.ddsketch_summary_sql(
+            _TEXT_LEN_MEASURE_SQL, ["role"], CFG
+        )
+        + " ORDER BY role",
+        "ddsketch_udaf_textlen_by_role": oracles.ddsketch_quantiles_sql(
+            _TEXT_LEN_MEASURE_SQL, ["role"], QS, CFG, pivot=PIVOT, order_by="role"
+        ),
+        "ddsketch_collapsed_bins": (
+            "WITH "
+            + oracles.ddsketch_bins_sql(_LATENCY_MEASURE_SQL, ["tool"], collapsed_cfg)
+            + "\nSELECT tool, sign, bucket, count AS cnt FROM sgs_bins"
+            " ORDER BY tool, sign, bucket"
+        ),
+    }

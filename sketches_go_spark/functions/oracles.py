@@ -1,0 +1,202 @@
+"""DuckDB oracle-SQL generators.
+
+For every sketch operator the library implements, these functions emit an
+ANSI-SQL (DuckDB-dialect) query computing the IDENTICAL algorithm over the
+same parquet tables.  Because both engines execute the same deterministic
+arithmetic (same literals, same operation order, window cumsums over the same
+total order, integer counts), results match value-for-value — estimates are
+rounded to 6 decimals on both sides to absorb the last-ulp libm differences.
+
+This is the strongest possible correctness gate for an approximate-query
+engine: the oracle is not "the exact answer" (which an approximation can't
+hash-match) but an independent re-execution of the algorithm's definition in
+a different engine.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable, Sequence
+
+from sketches_go_spark.core.ddsketch import (
+    COLLAPSE_HIGHEST,
+    COLLAPSE_LOWEST,
+    COLLAPSE_NONE,
+    DDSketchConfig,
+)
+
+
+def _lit(x: float) -> str:
+    """Full-precision float literal: shortest repr round-trips to the same
+    IEEE double in any correct parser."""
+    return repr(float(x))
+
+
+def _keys_csv(keys: Sequence[str]) -> str:
+    return ", ".join(keys)
+
+
+def ddsketch_bins_sql(
+    measure_sql: str,
+    keys: Sequence[str],
+    config: DDSketchConfig | None = None,
+    weight_expr: str | None = None,
+) -> str:
+    """CTE chain producing (keys..., sign, bucket, count) from a measure
+    relation ``measure_sql`` (must yield columns keys... and ``v``).
+
+    Mirrors functions.ddsketch_fns.build_bins (incl. the relational collapse).
+    """
+    config = config or DDSketchConfig()
+    m = config.mapping()
+    k = _keys_csv(keys)
+    mult, off = _lit(m.multiplier), _lit(m.index_offset)
+    min_i, max_i = _lit(m.min_indexable), _lit(m.max_indexable)
+    w = weight_expr or "1.0"
+    sql = f"""
+sgs_measures AS ({measure_sql}),
+sgs_routed AS (
+  SELECT {k},
+         CASE WHEN v > {min_i} THEN 1 WHEN v < -{min_i} THEN -1 ELSE 0 END AS sign,
+         CASE WHEN v > {min_i} THEN cast(floor(ln(v) * {mult} + {off}) AS int)
+              WHEN v < -{min_i} THEN cast(floor(ln(-v) * {mult} + {off}) AS int)
+              ELSE 0 END AS bucket,
+         cast({w} AS double) AS wgt
+  FROM sgs_measures
+  WHERE v IS NOT NULL AND NOT isnan(v) AND v <= {max_i} AND v >= -{max_i}
+),
+sgs_bins_raw AS (
+  SELECT {k}, sign, bucket, cast(sum(wgt) AS double) AS count
+  FROM sgs_routed GROUP BY {k}, sign, bucket
+)"""
+    if config.collapse == COLLAPSE_NONE or config.max_bins <= 0:
+        return sql + ",\nsgs_bins AS (SELECT * FROM sgs_bins_raw)"
+    mb = config.max_bins
+    if config.collapse == COLLAPSE_LOWEST:
+        clamp = (
+            f"CASE WHEN sign != 0 THEN greatest(bucket, "
+            f"max(bucket) OVER (PARTITION BY {k}, sign) - {mb} + 1) ELSE bucket END"
+        )
+    else:
+        clamp = (
+            f"CASE WHEN sign != 0 THEN least(bucket, "
+            f"min(bucket) OVER (PARTITION BY {k}, sign) + {mb} - 1) ELSE bucket END"
+        )
+    return sql + f""",
+sgs_clamped AS (SELECT {k}, sign, {clamp} AS bucket, count FROM sgs_bins_raw),
+sgs_bins AS (
+  SELECT {k}, sign, bucket, cast(sum(count) AS double) AS count
+  FROM sgs_clamped GROUP BY {k}, sign, bucket
+)"""
+
+
+def ddsketch_quantiles_sql(
+    measure_sql: str,
+    keys: Sequence[str],
+    quantiles: Iterable[float],
+    config: DDSketchConfig | None = None,
+    weight_expr: str | None = None,
+    pivot: dict[str, float] | None = None,
+    order_by: str | None = None,
+) -> str:
+    """Full oracle query mirroring ddsketch_fns.quantiles_from_bins.
+
+    Long output (keys..., q, est) by default; pass ``pivot`` as
+    {column_name: q} (plus an implicit exact-ish count) for the wide shape.
+    """
+    config = config or DDSketchConfig()
+    m = config.mapping()
+    k = _keys_csv(keys)
+    mult, off = _lit(m.multiplier), _lit(m.index_offset)
+    factor = _lit(1.0 + m.relative_accuracy())
+    qlist = ", ".join(_lit(q) for q in quantiles)
+    bins_cte = ddsketch_bins_sql(measure_sql, keys, config, weight_expr)
+
+    body = f"""WITH {bins_cte},
+sgs_cum AS (
+  SELECT *, sum(count) OVER (
+    PARTITION BY {k}, sign ORDER BY bucket
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM sgs_bins
+),
+sgs_totals AS (
+  SELECT {k},
+         coalesce(sum(CASE WHEN sign = -1 THEN count END), 0.0) AS neg_total,
+         coalesce(sum(CASE WHEN sign = 0 THEN count END), 0.0) AS zero_count,
+         sum(count) AS total,
+         max(CASE WHEN sign = 1 THEN bucket END) AS max_pos_bucket,
+         max(CASE WHEN sign = -1 THEN bucket END) AS max_neg_bucket
+  FROM sgs_bins GROUP BY {k}
+),
+sgs_qs AS (SELECT unnest([{qlist}]) AS q),
+sgs_j AS (
+  SELECT c.*, t.neg_total, t.zero_count, t.total, t.max_pos_bucket,
+         t.max_neg_bucket, sgs_qs.q
+  FROM sgs_cum c JOIN sgs_totals t USING ({k}) CROSS JOIN sgs_qs
+),
+sgs_picked AS (
+  SELECT {k}, q, neg_total, zero_count, total, max_pos_bucket, max_neg_bucket,
+         min(CASE WHEN sign = 1
+                  AND cum > greatest(q * (total - 1) - zero_count - neg_total, 0.0)
+             THEN bucket END) AS pos_key,
+         min(CASE WHEN sign = -1
+                  AND cum > greatest(neg_total - 1 - q * (total - 1), 0.0)
+             THEN bucket END) AS neg_key
+  FROM sgs_j
+  GROUP BY {k}, q, neg_total, zero_count, total, max_pos_bucket, max_neg_bucket
+),
+sgs_est AS (
+  SELECT {k}, q,
+         round(CASE
+           WHEN q * (total - 1) < neg_total THEN
+             -exp((coalesce(neg_key, max_neg_bucket) - {off}) / {mult}) * {factor}
+           WHEN q * (total - 1) < neg_total + zero_count THEN 0.0
+           ELSE
+             exp((coalesce(pos_key, max_pos_bucket) - {off}) / {mult}) * {factor}
+         END, 6) AS est,
+         total
+  FROM sgs_picked
+)"""
+    if pivot is None:
+        sql = body + f"\nSELECT {k}, q, est FROM sgs_est"
+        if order_by:
+            sql += f" ORDER BY {order_by}"
+        return sql
+    cols = ", ".join(
+        f"max(CASE WHEN q = {_lit(q)} THEN est END) AS {name}"
+        for name, q in pivot.items()
+    )
+    sql = body + f"""
+SELECT {k}, any_value(total) AS cnt, {cols} FROM sgs_est GROUP BY {k}"""
+    if order_by:
+        sql += f" ORDER BY {order_by}"
+    return sql
+
+
+def ddsketch_summary_sql(
+    measure_sql: str,
+    keys: Sequence[str],
+    config: DDSketchConfig | None = None,
+) -> str:
+    """Oracle for summary_from_bins: count / approximate sum / min / max."""
+    config = config or DDSketchConfig()
+    m = config.mapping()
+    k = _keys_csv(keys)
+    mult, off = _lit(m.multiplier), _lit(m.index_offset)
+    factor = _lit(1.0 + m.relative_accuracy())
+    bins_cte = ddsketch_bins_sql(measure_sql, keys, config)
+    val = f"exp((bucket - {off}) / {mult}) * {factor}"
+    return f"""WITH {bins_cte}
+SELECT {k},
+       sum(count) AS count,
+       round(sum((CASE WHEN sign = 1 THEN {val}
+                       WHEN sign = -1 THEN -({val})
+                       ELSE 0.0 END) * count), 6) AS sum_approx,
+       round(coalesce(-exp((max(CASE WHEN sign = -1 THEN bucket END) - {off}) / {mult}) * {factor},
+                      CASE WHEN sum(CASE WHEN sign = 0 THEN count END) > 0 THEN 0.0 END,
+                      exp((min(CASE WHEN sign = 1 THEN bucket END) - {off}) / {mult}) * {factor}),
+             6) AS min_approx,
+       round(coalesce(exp((max(CASE WHEN sign = 1 THEN bucket END) - {off}) / {mult}) * {factor},
+                      CASE WHEN sum(CASE WHEN sign = 0 THEN count END) > 0 THEN 0.0 END,
+                      -exp((min(CASE WHEN sign = -1 THEN bucket END) - {off}) / {mult}) * {factor}),
+             6) AS max_approx
+FROM sgs_bins GROUP BY {k}"""

@@ -1,0 +1,60 @@
+"""SparkSession factory tuned for the sketch workload.
+
+Defaults target the sandbox (single JVM, local[N]) but every knob is the one
+you would set on a real 1000-executor cluster: AQE on (runtime coalescing +
+skew-join splitting), Arrow enabled for every pandas UDF boundary, shuffle
+partitions sized to cores (override per-job at scale).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    cores: int | None = None,
+    shuffle_partitions: int | None = None,
+    app_name: str = "sketches-go-spark",
+    extra_conf: dict | None = None,
+) -> SparkSession:
+    if cores is None:
+        cores = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or None
+    master = f"local[{cores}]" if cores else "local[*]"
+    if shuffle_partitions is None:
+        shuffle_partitions = (cores or os.cpu_count() or 8) * 2
+
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.session.timeZone", "UTC")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def read_table(spark: SparkSession, sf_dir: str, name: str, fmt: str = "parquet"):
+    """Table loader with a format switch.
+
+    The production target is Iceberg (``format='iceberg'`` reads
+    ``spark.read.format('iceberg').load(name)`` against the session catalog);
+    the sandbox has no iceberg-spark-runtime jar, so parquet files with the
+    identical schema stand in — switching is config-only.
+    """
+    if fmt == "iceberg":
+        return spark.read.format("iceberg").load(name)
+    return spark.read.parquet(table_path(sf_dir, name))

@@ -1,0 +1,131 @@
+"""Relational and UDAF paths: accuracy vs exact oracle, parity with the core
+DDSketch object, partition-order invariance (north-rule merge contract), and
+plan checks (the relational hot path must stay Python-free)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from sketches_go_spark.core.ddsketch import DDSketch, DDSketchConfig
+from sketches_go_spark.functions import ddsketch_fns as dd
+from tests.oracle import assert_relatively_accurate
+
+CFG = DDSketchConfig(alpha=0.01)
+QS = [0.01, 0.25, 0.5, 0.75, 0.95, 0.99, 1.0]
+RNG = np.random.default_rng(11)
+
+
+@pytest.fixture(scope="module")
+def data():
+    n = 20000
+    groups = RNG.choice(["a", "b", "c"], n, p=[0.8, 0.15, 0.05])
+    values = np.where(
+        groups == "a",
+        RNG.lognormal(3, 1, n),
+        np.where(groups == "b", RNG.normal(0, 10, n), RNG.exponential(5, n)),
+    )
+    # sprinkle zeros and negatives into 'a'
+    values[: n // 100] = 0.0
+    return pd.DataFrame({"g": groups, "v": values})
+
+
+@pytest.fixture(scope="module")
+def sdf(spark, data):
+    return spark.createDataFrame(data).repartition(8)
+
+
+def test_relational_accuracy_and_core_parity(spark, sdf, data):
+    out = dd.ddsketch_quantiles_relational(
+        sdf, "v", ["g"], QS, CFG
+    ).toPandas().set_index(["g", "q"])["est"]
+    for g, sub in data.groupby("g"):
+        vals = sub["v"].to_numpy()
+        core = DDSketch.from_values(vals, config=CFG)
+        for q in QS:
+            est = out.loc[(g, q)]
+            assert_relatively_accurate(vals, est, q, 0.01)
+            # parity with the numpy core (same algorithm, same buckets)
+            assert est == pytest.approx(core.quantile(q), rel=1e-9, abs=1e-6)
+
+
+def test_udaf_matches_relational(spark, sdf, data):
+    rel = dd.ddsketch_quantiles_relational(sdf, "v", ["g"], QS, CFG).toPandas()
+    sk = dd.ddsketch_agg(sdf, "v", ["g"], CFG)
+    wide = dd.with_quantiles(sk, QS).toPandas().set_index("g")
+    for _, row in rel.iterrows():
+        pct = row["q"] * 100
+        col = f"p{int(pct)}" if float(pct).is_integer() else f"p{pct}".replace(".", "_")
+        assert wide.loc[row["g"], col] == pytest.approx(row["est"], abs=1e-6)
+
+
+def test_partition_order_invariance(spark, sdf):
+    """Merge associativity/commutativity under arbitrary partition orderings:
+    identical quantiles for any repartitioning (non-collapsing sketches)."""
+    results = []
+    for parts in (1, 4, 16, 64):
+        d = sdf.repartition(parts)
+        rel = (
+            dd.ddsketch_quantiles_relational(d, "v", ["g"], QS, CFG)
+            .orderBy("g", "q")
+            .toPandas()
+        )
+        sk = dd.with_quantiles(dd.ddsketch_agg(d, "v", ["g"], CFG), [0.5, 0.99])
+        udaf = sk.select("g", "p50", "p99").orderBy("g").toPandas()
+        results.append((rel, udaf))
+    base_rel, base_udaf = results[0]
+    for rel, udaf in results[1:]:
+        pd.testing.assert_frame_equal(rel, base_rel)
+        pd.testing.assert_frame_equal(udaf, base_udaf)
+
+
+def test_udaf_summary_exact(spark, sdf, data):
+    sk = dd.ddsketch_agg(sdf, "v", ["g"], CFG)
+    out = dd.with_summary(sk, estimate_decimals=None).toPandas().set_index("g")
+    exact = data.groupby("g")["v"].agg(["count", "sum", "min", "max"])
+    for g in exact.index:
+        assert out.loc[g, "cnt"] == exact.loc[g, "count"]
+        assert out.loc[g, "xsum"] == pytest.approx(exact.loc[g, "sum"], rel=1e-9)
+        assert out.loc[g, "xmin"] == exact.loc[g, "min"]
+        assert out.loc[g, "xmax"] == exact.loc[g, "max"]
+
+
+def test_weighted_bins(spark):
+    pdf = pd.DataFrame({"g": ["x"] * 4, "v": [1.0, 10.0, 100.0, 0.0],
+                        "w": [0.5, 2.0, 0.25, 3.0]})
+    sdf = spark.createDataFrame(pdf)
+    bins = dd.build_bins(sdf, "v", ["g"], CFG, weight_col="w")
+    total = bins.agg(F.sum("count")).collect()[0][0]
+    assert total == pytest.approx(5.75)
+    core = DDSketch.from_values(pdf["v"], pdf["w"], config=CFG)
+    est = dd.quantiles_from_bins(bins, ["g"], [0.5], CFG).collect()[0]["est"]
+    assert est == pytest.approx(core.quantile(0.5), abs=1e-6)
+
+
+def test_nan_and_null_rejected_not_counted(spark):
+    pdf = pd.DataFrame({"g": ["x"] * 5, "v": [1.0, float("nan"), None, 2.0, 1e320]})
+    sdf = spark.createDataFrame(pdf)
+    bins = dd.build_bins(sdf, "v", ["g"], CFG)
+    assert bins.agg(F.sum("count")).collect()[0][0] == 2.0
+
+
+def test_relational_plan_is_python_free(spark, sdf):
+    """The hot path must compile to JVM codegen — no Python eval nodes."""
+    plan = dd.ddsketch_quantiles_relational(sdf, "v", ["g"], QS, CFG)._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    assert "FlatMapGroupsInPandas" not in plan
+
+
+def test_collapsed_relational_invariants(spark):
+    n = 5000
+    pdf = pd.DataFrame({"g": ["x"] * n, "v": RNG.lognormal(0, 4, n)})
+    sdf = spark.createDataFrame(pdf).repartition(8)
+    cfg = DDSketchConfig(alpha=0.01, max_bins=128, collapse="lowest")
+    bins = dd.build_bins(sdf, "v", ["g"], cfg).toPandas()
+    pos = bins[bins["sign"] == 1]
+    assert len(pos) <= 128
+    assert bins["count"].sum() == n
+    # max bucket preserved = alpha-accurate max
+    core = DDSketch.from_values(pdf["v"], config=cfg)
+    assert pos["bucket"].max() == core.pos_idx[-1]
