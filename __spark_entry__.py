@@ -23,6 +23,7 @@ from pyspark.sql.window import Window
 from sketches_go_spark.core.ddsketch import DDSketchConfig
 from sketches_go_spark.functions import ddsketch_fns as dd
 from sketches_go_spark.functions import oracles
+from sketches_go_spark.functions import sketch_fns as sk
 from sketches_go_spark.sources.transcripts import transcripts_from_events, transcripts_sql
 
 ALPHA = 0.01
@@ -136,6 +137,100 @@ def q_ddsketch_collapsed_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("tool", "sign", "bucket")
 
 
+# ----------------------------------------------------- companion sketches
+_TOOL_ITEMS_SQL = (
+    f"SELECT tool AS item FROM {_TRANSCRIPTS} t WHERE tool IS NOT NULL"
+)
+_CONV_BY_ROLE_SQL = f"SELECT role, conv_id AS item FROM {_TRANSCRIPTS} t"
+_BLOOM_PROBES = [
+    "tool-0", "tool-1", "tool-2", "tool-3", "tool-4", "tool-5", "tool-6",
+    "tool-7", "tool-42", "ghost-a", "ghost-b", "ghost-c",
+]
+HLL_P = 10
+
+
+def q_hll_registers_convs_by_role(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL register relation (pure Catalyst) for distinct conv_ids per role."""
+    t = transcripts_from_events(spark, sf_dir)
+    return sk.hll_registers(t, "conv_id", ["role"], p=HLL_P).orderBy(
+        "role", "reg"
+    )
+
+
+def q_hll_distinct_convs_by_role(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL distinct estimate + exact distinct per role (relational path)."""
+    t = transcripts_from_events(spark, sf_dir)
+    est = sk.hll_estimate_relational(t, "conv_id", ["role"], p=HLL_P)
+    exact = t.groupBy("role").agg(
+        F.countDistinct("conv_id").alias("exact_distinct")
+    )
+    return est.join(exact, "role").orderBy("role")
+
+
+def q_hll_udaf_distinct_by_role(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UDAF path HLL (two-phase partial->merge of register blobs): must equal
+    the relational estimate register-for-register."""
+    t = transcripts_from_events(spark, sf_dir)
+    sketches = sk.hll_agg(t, "conv_id", ["role"], p=HLL_P)
+    return sketches.select(
+        "role", sk.hll_estimate_udf(F.col("sketch")).alias("est")
+    ).orderBy("role")
+
+
+def q_cms_tool_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min estimates vs true counts for every distinct tool."""
+    t = transcripts_from_events(spark, sf_dir).where(F.col("tool").isNotNull())
+    src = t.select(F.col("tool").alias("item"))
+    counters = sk.cms_counters(src, "item", [], depth=4, width=512)
+    items = src.distinct()
+    est = sk.cms_estimate(counters, items, "item", depth=4, width=512)
+    true = src.groupBy("item").agg(F.count(F.lit(1)).alias("true_cnt"))
+    return est.join(true, "item").orderBy("item")
+
+
+def q_bloom_probe_tools(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom membership probes (7 present tools + 5 absent names)."""
+    t = transcripts_from_events(spark, sf_dir).where(F.col("tool").isNotNull())
+    build = t.select(F.col("tool").alias("item"))
+    bits = sk.bloom_bits(build, "item", [], m_bits=4096, k=5)
+    probes = spark.createDataFrame([(x,) for x in _BLOOM_PROBES], "item string")
+    return sk.bloom_probe(bits, probes, "item", m_bits=4096, k=5).orderBy("item")
+
+
+def q_kll_latency_by_role(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KLL rank-sketch quantiles of inter-turn latency per role (UDAF path;
+    rank-space sketch — no SQL oracle, rows-only check + pytest bound)."""
+    t = transcripts_from_events(spark, sf_dir)
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    micros = F.unix_micros(F.col("ts").cast("timestamp"))
+    lat = (micros - F.lag(micros).over(w)).cast("double") / F.lit(1000000.0)
+    src = t.select("role", lat.alias("v")).where(F.col("v").isNotNull())
+    sketches = sk.kll_agg(src, "v", ["role"], k=200)
+    out = sk.with_sketch_quantiles(
+        sketches, __import__(
+            "sketches_go_spark.core.kll", fromlist=["KLLSketch"]
+        ).KLLSketch.from_bytes, [0.5, 0.95, 0.99],
+    )
+    return out.select("role", "p50", "p95", "p99").orderBy("role")
+
+
+def q_tdigest_latency_by_role(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-digest quantiles of inter-turn latency per role (UDAF path;
+    order-sensitive clustering — no SQL oracle, rows-only + pytest bound)."""
+    t = transcripts_from_events(spark, sf_dir)
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    micros = F.unix_micros(F.col("ts").cast("timestamp"))
+    lat = (micros - F.lag(micros).over(w)).cast("double") / F.lit(1000000.0)
+    src = t.select("role", lat.alias("v")).where(F.col("v").isNotNull())
+    sketches = sk.tdigest_agg(src, "v", ["role"], delta=200.0)
+    out = sk.with_sketch_quantiles(
+        sketches, __import__(
+            "sketches_go_spark.core.tdigest", fromlist=["TDigest"]
+        ).TDigest.from_bytes, [0.5, 0.95, 0.99],
+    )
+    return out.select("role", "p50", "p95", "p99").orderBy("role")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: per-tool p50/p95/p99 inter-turn latency (DDSketch relational
     path over the transcripts derivation) at sf0.001."""
@@ -151,6 +246,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ddsketch_summary_by_role": q_ddsketch_summary_by_role,
         "ddsketch_udaf_textlen_by_role": q_ddsketch_udaf_textlen_by_role,
         "ddsketch_collapsed_bins": q_ddsketch_collapsed_bins,
+        "hll_registers_convs_by_role": q_hll_registers_convs_by_role,
+        "hll_distinct_convs_by_role": q_hll_distinct_convs_by_role,
+        "hll_udaf_distinct_by_role": q_hll_udaf_distinct_by_role,
+        "cms_tool_counts": q_cms_tool_counts,
+        "bloom_probe_tools": q_bloom_probe_tools,
+        "kll_latency_by_role": q_kll_latency_by_role,
+        "tdigest_latency_by_role": q_tdigest_latency_by_role,
     }
 
 
@@ -186,4 +288,32 @@ def oracle_sql() -> dict[str, str]:
             + "\nSELECT tool, sign, bucket, count AS cnt FROM sgs_bins"
             " ORDER BY tool, sign, bucket"
         ),
+        "hll_registers_convs_by_role": oracles.hll_registers_sql(
+            _CONV_BY_ROLE_SQL, ["role"], p=HLL_P
+        )
+        + " ORDER BY role, reg",
+        "hll_distinct_convs_by_role": (
+            f"""SELECT e.role, e.est, d.exact_distinct FROM (
+{oracles.hll_estimate_sql(_CONV_BY_ROLE_SQL, ["role"], p=HLL_P)}
+) e JOIN (
+  SELECT role, count(DISTINCT item) AS exact_distinct
+  FROM ({_CONV_BY_ROLE_SQL}) GROUP BY role
+) d USING (role) ORDER BY role"""
+        ),
+        "hll_udaf_distinct_by_role": oracles.hll_estimate_sql(
+            _CONV_BY_ROLE_SQL, ["role"], p=HLL_P
+        )
+        + " ORDER BY role",
+        "cms_tool_counts": oracles.cms_estimate_sql(
+            _TOOL_ITEMS_SQL, depth=4, width=512
+        )
+        + " ORDER BY item",
+        "bloom_probe_tools": oracles.bloom_probe_sql(
+            _TOOL_ITEMS_SQL, _BLOOM_PROBES, m_bits=4096, k=5
+        )
+        + " ORDER BY item",
+        # kll / tdigest: rank-space sketches, genuinely non-SQL-expressible
+        # (order-sensitive state) -> rows-only driver check; accuracy bounds
+        # are asserted in pytest instead (tests/test_companion_sketches.py,
+        # tests/test_sketch_fns_spark.py)
     }

@@ -200,3 +200,110 @@ SELECT {k},
                       -exp((min(CASE WHEN sign = -1 THEN bucket END) - {off}) / {mult}) * {factor}),
              6) AS max_approx
 FROM sgs_bins GROUP BY {k}"""
+
+
+# =====================================================================
+# companion-sketch oracles (HLL / CMS / Bloom) — exact hash replay
+# =====================================================================
+def _hash_sql(expr: str, salt: str = "") -> str:
+    inner = f"concat('{salt}', cast({expr} as string))"
+    return f"cast(concat('0x', substr(md5({inner}), 1, 15)) as bigint)"
+
+
+_HASH_BITS = 60
+
+
+def hll_registers_sql(src_sql: str, keys, p: int = 12) -> str:
+    """(keys..., reg, rho) register relation — mirrors
+    sketch_fns.hll_registers.  ``src_sql`` must yield keys... and ``item``."""
+    k = _keys_csv(keys)
+    kc = f"{k}, " if k else ""
+    m = 1 << p
+    maxrho = _HASH_BITS - p + 1
+    return f"""WITH sgs_src AS ({src_sql}),
+sgs_h AS (
+  SELECT {kc}cast(h % {m} AS int) AS reg,
+         cast({maxrho} - (CASE WHEN (h >> {p}) = 0 THEN 0
+                               ELSE length(bin(h >> {p})) END) AS int) AS rho
+  FROM (SELECT {kc}{_hash_sql('item')} AS h FROM sgs_src WHERE item IS NOT NULL)
+),
+sgs_regs AS (
+  SELECT {kc}reg, cast(max(rho) AS int) AS rho FROM sgs_h GROUP BY {kc}reg
+)
+SELECT * FROM sgs_regs"""
+
+
+def hll_estimate_sql(src_sql: str, keys, p: int = 12, est_decimals: int = 4) -> str:
+    """(keys..., est) — mirrors sketch_fns.hll_estimate_relational (same
+    alpha*m^2 literal, same linear-counting branch)."""
+    from sketches_go_spark.core.hll import hll_alpha
+
+    k = _keys_csv(keys)
+    kc = f"{k}, " if k else ""
+    m = 1 << p
+    amm = _lit(hll_alpha(m) * m * m)
+    regs = hll_registers_sql(src_sql, keys, p)
+    return f"""WITH sgs_all AS ({regs})
+SELECT {kc}round(CASE WHEN raw <= {_lit(2.5 * m)} AND v > 0
+                 THEN {m} * ln({m} / v) ELSE raw END, {est_decimals}) AS est
+FROM (
+  SELECT {kc}{amm} / (sum(power(2.0, -rho)) + ({m} - count(*))) AS raw,
+         {m} - count(*) AS v
+  FROM sgs_all GROUP BY {k if k else "1=1"}
+)"""
+
+
+def _union_hash_rows(src: str, item_expr: str, n: int, salt_prefix: str, mod: int,
+                     extra_cols: str = "") -> str:
+    """UNION ALL of n hash branches: (extra_cols..., row, col)."""
+    ec = f"{extra_cols}, " if extra_cols else ""
+    branches = [
+        f"SELECT {ec}{j} AS row, "
+        f"cast({_hash_sql(item_expr, f'{salt_prefix}{j}:')} % {mod} AS int) AS col "
+        f"FROM {src}"
+        for j in range(n)
+    ]
+    return "\nUNION ALL\n".join(branches)
+
+
+def cms_estimate_sql(
+    src_sql: str, depth: int = 4, width: int = 512, est_decimals: int = 1
+) -> str:
+    """(item, est_cnt, true_cnt) for every distinct item — mirrors
+    sketch_fns.cms_counters + cms_estimate.  ``src_sql`` must yield ``item``."""
+    return f"""WITH sgs_src AS ({src_sql}),
+sgs_exploded AS ({_union_hash_rows('sgs_src', 'item', depth, 'cms', width)}),
+sgs_counters AS (
+  SELECT row, col, cast(count(*) AS double) AS cnt
+  FROM sgs_exploded GROUP BY row, col
+),
+sgs_items AS (SELECT DISTINCT item FROM sgs_src),
+sgs_probe AS ({_union_hash_rows('sgs_items', 'item', depth, 'cms', width,
+                                extra_cols='item')}),
+sgs_est AS (
+  SELECT p.item, min(coalesce(c.cnt, 0.0)) AS est_cnt
+  FROM sgs_probe p LEFT JOIN sgs_counters c ON p.row = c.row AND p.col = c.col
+  GROUP BY p.item
+),
+sgs_true AS (SELECT item, cast(count(*) AS bigint) AS true_cnt FROM sgs_src GROUP BY item)
+SELECT e.item, e.est_cnt, t.true_cnt
+FROM sgs_est e JOIN sgs_true t USING (item)"""
+
+
+def bloom_probe_sql(
+    build_sql: str, probe_items: list[str], m_bits: int = 4096, k: int = 5
+) -> str:
+    """(item, might_contain) for the literal probe list — mirrors
+    sketch_fns.bloom_bits + bloom_probe.  ``build_sql`` must yield ``item``."""
+    probes = ", ".join("'" + it.replace("'", "''") + "'" for it in probe_items)
+    return f"""WITH sgs_build AS ({build_sql}),
+sgs_bits AS (
+  SELECT DISTINCT col AS pos
+  FROM ({_union_hash_rows('sgs_build', 'item', k, 'bloom', m_bits)})
+),
+sgs_probes AS (SELECT unnest([{probes}]) AS item),
+sgs_ppos AS ({_union_hash_rows('sgs_probes', 'item', k, 'bloom', m_bits,
+                               extra_cols='item')})
+SELECT p.item, count(b.pos) = {k} AS might_contain
+FROM sgs_ppos p LEFT JOIN sgs_bits b ON p.col = b.pos
+GROUP BY p.item"""

@@ -1,0 +1,417 @@
+"""Spark functions for the companion sketches (HLL, count-min, Bloom, KLL,
+t-digest) — same two-path design as DDSketch:
+
+- **relational paths** (HLL registers, CMS counters, Bloom bit sets) are pure
+  Catalyst: hash → modulo → groupBy, map-side combined, Python-free, and
+  exactly reproducible in DuckDB (the oracle replays the identical hash);
+- **UDAF paths** produce the sketch as an encoded BinaryType value via the
+  explicit two-phase mapInPandas-partial → shuffle → applyInPandas-merge
+  topology (shared template ``two_phase_agg``), for rollups / storage /
+  streaming state.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Callable, Iterator, Sequence
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    DoubleType,
+    StructField,
+    StructType,
+)
+
+from sketches_go_spark.core.bloom import BloomFilter, bloom_salt
+from sketches_go_spark.core.cms import CountMinSketch, cms_salt
+from sketches_go_spark.core.hashing import HASH_BITS
+from sketches_go_spark.core.hll import HyperLogLog, hll_alpha
+from sketches_go_spark.core.kll import KLLSketch
+from sketches_go_spark.core.tdigest import TDigest
+from sketches_go_spark.functions.expressions import portable_hash64
+
+
+def _col(c: str | Column) -> Column:
+    return F.col(c) if isinstance(c, str) else c
+
+
+# =====================================================================
+# generic two-phase UDAF template (partial per partition -> merge)
+# =====================================================================
+def two_phase_agg(
+    df: DataFrame,
+    cols: Sequence[str],
+    keys: Sequence[str],
+    make: Callable[[], object],
+    partial_add: Callable[[object, pd.DataFrame], None],
+    decode: Callable[[bytes], object],
+    out_col: str = "sketch",
+) -> DataFrame:
+    """Shared topology for every mergeable sketch: one partial sketch per
+    (group x input partition) built batch-wise in mapInPandas (map-side
+    combine), then a shuffle of the tiny encoded partials and an
+    applyInPandas merge.  Sketch objects must expose .merge() and
+    .to_bytes()."""
+    key_fields = [df.schema[k] for k in keys]
+    out_schema = StructType(list(key_fields) + [StructField(out_col, BinaryType())])
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        acc: dict = {}
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            for gkey, idx in pdf.groupby(list(keys), dropna=False, sort=False).indices.items():
+                sk = acc.get(gkey)
+                if sk is None:
+                    sk = acc[gkey] = make()
+                partial_add(sk, pdf.iloc[idx])
+        if not acc:
+            return
+        rows = [
+            (*(gk if isinstance(gk, tuple) else (gk,)), sk.to_bytes())
+            for gk, sk in acc.items()
+        ]
+        yield pd.DataFrame(rows, columns=list(keys) + [out_col])
+
+    partials = df.select(*keys, *cols).mapInPandas(build, schema=out_schema)
+
+    def merge(pdf: pd.DataFrame) -> pd.DataFrame:
+        it = iter(pdf[out_col])
+        acc = decode(bytes(next(it)))
+        for blob in it:
+            acc.merge(decode(bytes(blob)))
+        head = pdf.iloc[[0]][list(keys)].copy()
+        head[out_col] = [acc.to_bytes()]
+        return head
+
+    return partials.groupBy(*keys).applyInPandas(merge, schema=out_schema)
+
+
+# =====================================================================
+# HyperLogLog
+# =====================================================================
+def hll_register_exprs(item: Column, p: int) -> tuple[Column, Column]:
+    """(register index, rho) Catalyst expressions — identical semantics to
+    core.hll (idx = h % m, rho = (60-p)+1 - bitlen(h >> p))."""
+    m = 1 << p
+    h = portable_hash64(item)
+    idx = F.pmod(h, F.lit(m)).cast("int")
+    w = F.shiftright(h, p)
+    bitlen = F.when(w == 0, F.lit(0)).otherwise(F.length(F.bin(w)))
+    rho = (F.lit(HASH_BITS - p + 1) - bitlen).cast("int")
+    return idx, rho
+
+
+def hll_registers(
+    df: DataFrame, item_col: str | Column, keys: Sequence[str], p: int = 12
+) -> DataFrame:
+    """(keys..., reg:int, rho:int) — the HLL register relation, pure Catalyst.
+    One map-side-combined shuffle keyed on (keys, reg); at most m rows per
+    group survive regardless of input size."""
+    idx, rho = hll_register_exprs(_col(item_col), p)
+    return (
+        df.where(_col(item_col).isNotNull())
+        .select(*keys, idx.alias("reg"), rho.alias("rho"))
+        .groupBy(*keys, "reg")
+        .agg(F.max("rho").alias("rho"))
+    )
+
+
+def hll_estimate_relational(
+    df: DataFrame,
+    item_col: str | Column,
+    keys: Sequence[str],
+    p: int = 12,
+    est_decimals: int = 4,
+) -> DataFrame:
+    """(keys..., est:double) distinct-count estimate, pure Catalyst, with the
+    standard linear-counting small-range correction."""
+    m = 1 << p
+    amm = hll_alpha(m) * m * m
+    regs = hll_registers(df, item_col, keys, p)
+    agg = regs.groupBy(*keys).agg(
+        F.sum(F.pow(F.lit(2.0), -F.col("rho"))).alias("s"),
+        F.count(F.lit(1)).alias("used"),
+    )
+    raw = F.lit(amm) / (F.col("s") + (F.lit(m) - F.col("used")))
+    v = F.lit(m) - F.col("used")
+    est = F.when(
+        (raw <= F.lit(2.5 * m)) & (v > 0), F.lit(m) * F.log(F.lit(m) / v)
+    ).otherwise(raw)
+    return agg.select(*keys, F.round(est, est_decimals).alias("est"))
+
+
+def hll_agg(
+    df: DataFrame, item_col: str, keys: Sequence[str], p: int = 12
+) -> DataFrame:
+    """UDAF path: (keys..., sketch:binary) HLL value column.  Hashing happens
+    JVM-side (portable hash) so the Arrow batches carry int64s."""
+    hashed = df.where(_col(item_col).isNotNull()).withColumn(
+        "_h", portable_hash64(_col(item_col))
+    )
+
+    def add(sk: HyperLogLog, pdf: pd.DataFrame) -> None:
+        sk.add_hashes(pdf["_h"].to_numpy(dtype=np.int64))
+
+    return two_phase_agg(
+        hashed, ["_h"], keys, lambda: HyperLogLog(p), add, HyperLogLog.from_bytes
+    )
+
+
+def hll_estimate_udf(sketch: Column, est_decimals: int = 4) -> Column:
+    @F.pandas_udf(DoubleType())
+    def est(blobs: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                HyperLogLog.from_bytes(bytes(b)).estimate() if b is not None else np.nan
+                for b in blobs
+            ]
+        )
+
+    return F.round(est(sketch), est_decimals)
+
+
+# =====================================================================
+# Count-min
+# =====================================================================
+def cms_counters(
+    df: DataFrame,
+    item_col: str | Column,
+    keys: Sequence[str],
+    depth: int = 4,
+    width: int = 512,
+    weight_col: str | None = None,
+) -> DataFrame:
+    """(keys..., row:int, col:int, cnt:double) counter relation, pure
+    Catalyst (posexplode of the d hash columns -> groupBy)."""
+    item = _col(item_col)
+    cols = F.array(
+        *[
+            F.pmod(portable_hash64(item, cms_salt(j)), F.lit(width)).cast("int")
+            for j in range(depth)
+        ]
+    )
+    w = (F.col(weight_col) if weight_col else F.lit(1)).cast("double")
+    return (
+        df.where(item.isNotNull())
+        .select(*keys, F.posexplode(cols).alias("row", "col"), w.alias("w"))
+        .groupBy(*keys, "row", "col")
+        .agg(F.sum("w").alias("cnt"))
+    )
+
+
+def cms_estimate(
+    counters: DataFrame,
+    items: DataFrame,
+    item_col: str,
+    depth: int = 4,
+    width: int = 512,
+    keys: Sequence[str] = (),
+) -> DataFrame:
+    """Point-query the counter relation for each row of ``items``:
+    est = min over rows j of counter[(j, h_j(item) % w)].  The counter
+    relation is small (d*w per group) → broadcast join."""
+    item = _col(item_col)
+    cols = F.array(
+        *[
+            F.pmod(portable_hash64(item, cms_salt(j)), F.lit(width)).cast("int")
+            for j in range(depth)
+        ]
+    )
+    probes = items.select(
+        *keys, item.alias(item_col), F.posexplode(cols).alias("row", "col")
+    )
+    joined = probes.join(F.broadcast(counters), [*keys, "row", "col"], "left").na.fill(
+        {"cnt": 0.0}
+    )
+    return joined.groupBy(*keys, item_col).agg(F.min("cnt").alias("est_cnt"))
+
+
+def cms_agg(
+    df: DataFrame,
+    item_col: str,
+    keys: Sequence[str],
+    depth: int = 4,
+    width: int = 512,
+) -> DataFrame:
+    """UDAF path: encoded CMS value per group (columns pre-hashed JVM-side)."""
+    src = df.where(_col(item_col).isNotNull())
+    hash_cols = [
+        F.pmod(portable_hash64(_col(item_col), cms_salt(j)), F.lit(width))
+        .cast("int")
+        .alias(f"_c{j}")
+        for j in range(depth)
+    ]
+    hashed = src.select(*keys, *hash_cols)
+
+    def add(sk: CountMinSketch, pdf: pd.DataFrame) -> None:
+        cols = np.stack([pdf[f"_c{j}"].to_numpy(dtype=np.int64) for j in range(depth)])
+        sk.add_hashed(cols)
+
+    return two_phase_agg(
+        hashed,
+        [f"_c{j}" for j in range(depth)],
+        keys,
+        lambda: CountMinSketch(depth, width),
+        add,
+        CountMinSketch.from_bytes,
+    )
+
+
+# =====================================================================
+# Bloom
+# =====================================================================
+def bloom_bits(
+    df: DataFrame,
+    item_col: str | Column,
+    keys: Sequence[str],
+    m_bits: int = 4096,
+    k: int = 5,
+) -> DataFrame:
+    """(keys..., pos:int) distinct set-bit relation, pure Catalyst."""
+    item = _col(item_col)
+    positions = F.array(
+        *[
+            F.pmod(portable_hash64(item, bloom_salt(j)), F.lit(m_bits)).cast("int")
+            for j in range(k)
+        ]
+    )
+    return (
+        df.where(item.isNotNull())
+        .select(*keys, F.explode(positions).alias("pos"))
+        .distinct()
+    )
+
+
+def bloom_probe(
+    bits: DataFrame,
+    probes: DataFrame,
+    item_col: str,
+    m_bits: int = 4096,
+    k: int = 5,
+    keys: Sequence[str] = (),
+) -> DataFrame:
+    """(keys..., item, might_contain:boolean): true iff all k probe positions
+    are set.  Bit relation is tiny → broadcast."""
+    item = _col(item_col)
+    positions = F.array(
+        *[
+            F.pmod(portable_hash64(item, bloom_salt(j)), F.lit(m_bits)).cast("int")
+            for j in range(k)
+        ]
+    )
+    exploded = probes.select(*keys, item.alias(item_col), F.explode(positions).alias("pos"))
+    marked = exploded.join(
+        F.broadcast(bits.withColumn("_hit", F.lit(1))), [*keys, "pos"], "left"
+    )
+    return marked.groupBy(*keys, item_col).agg(
+        (F.count("_hit") == F.lit(k)).alias("might_contain")
+    )
+
+
+def bloom_agg(
+    df: DataFrame,
+    item_col: str,
+    keys: Sequence[str],
+    m_bits: int = 4096,
+    k: int = 5,
+) -> DataFrame:
+    """UDAF path: encoded Bloom filter value per group."""
+    src = df.where(_col(item_col).isNotNull())
+    pos_cols = [
+        F.pmod(portable_hash64(_col(item_col), bloom_salt(j)), F.lit(m_bits))
+        .cast("int")
+        .alias(f"_p{j}")
+        for j in range(k)
+    ]
+    hashed = src.select(*keys, *pos_cols)
+
+    def add(sk: BloomFilter, pdf: pd.DataFrame) -> None:
+        for j in range(k):
+            sk.bits[pdf[f"_p{j}"].to_numpy(dtype=np.int64)] = True
+
+    return two_phase_agg(
+        hashed,
+        [f"_p{j}" for j in range(k)],
+        keys,
+        lambda: BloomFilter(m_bits, k),
+        add,
+        BloomFilter.from_bytes,
+    )
+
+
+# =====================================================================
+# KLL / t-digest (UDAF-only: rank-space sketches aren't relational)
+# =====================================================================
+def kll_agg(
+    df: DataFrame, value_col: str, keys: Sequence[str], k: int = 200
+) -> DataFrame:
+    def add(sk: KLLSketch, pdf: pd.DataFrame) -> None:
+        sk.add(pdf[value_col].to_numpy(dtype=np.float64, na_value=np.nan))
+
+    return two_phase_agg(
+        df.where(_col(value_col).isNotNull()),
+        [value_col],
+        keys,
+        lambda: KLLSketch(k),
+        add,
+        KLLSketch.from_bytes,
+    )
+
+
+def tdigest_agg(
+    df: DataFrame, value_col: str, keys: Sequence[str], delta: float = 200.0
+) -> DataFrame:
+    def add(sk: TDigest, pdf: pd.DataFrame) -> None:
+        sk.add(pdf[value_col].to_numpy(dtype=np.float64, na_value=np.nan))
+
+    return two_phase_agg(
+        df.where(_col(value_col).isNotNull()),
+        [value_col],
+        keys,
+        lambda: TDigest(delta),
+        add,
+        TDigest.from_bytes,
+    )
+
+
+def sketch_quantiles_udf(
+    decode: Callable[[bytes], object], quantiles: Sequence[float]
+) -> Callable[[Column], Column]:
+    qs = [float(q) for q in quantiles]
+
+    @F.pandas_udf(ArrayType(DoubleType()))
+    def extract(blobs: pd.Series) -> pd.Series:
+        out = []
+        for b in blobs:
+            if b is None:
+                out.append(None)
+                continue
+            out.append([float(x) for x in decode(bytes(b)).quantiles(qs)])
+        return pd.Series(out)
+
+    return extract
+
+
+def with_sketch_quantiles(
+    sketches: DataFrame,
+    decode: Callable[[bytes], object],
+    quantiles: Sequence[float],
+    sketch_col: str = "sketch",
+    prefix: str = "p",
+) -> DataFrame:
+    extract = sketch_quantiles_udf(decode, quantiles)
+    tmp = sketches.withColumn("_qarr", extract(F.col(sketch_col)))
+    for i, q in enumerate(quantiles):
+        pct = q * 100
+        name = f"{prefix}{int(pct)}" if float(pct).is_integer() else (
+            f"{prefix}{pct}".replace(".", "_")
+        )
+        tmp = tmp.withColumn(name, F.element_at("_qarr", i + 1))
+    return tmp.drop("_qarr")

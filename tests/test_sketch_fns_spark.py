@@ -1,0 +1,116 @@
+"""Companion sketches on Spark: relational <-> UDAF <-> python-core parity,
+and accuracy of the rank sketches through the two-phase topology."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from sketches_go_spark.core.hashing import portable_hash64_np
+from sketches_go_spark.core.hll import HyperLogLog
+from sketches_go_spark.core.kll import KLLSketch
+from sketches_go_spark.core.tdigest import TDigest
+from sketches_go_spark.functions import sketch_fns as sk
+
+RNG = np.random.default_rng(23)
+
+
+@pytest.fixture(scope="module")
+def items_df(spark):
+    n = 8000
+    pdf = pd.DataFrame(
+        {
+            "g": RNG.choice(["x", "y"], n),
+            "item": [f"it-{i % 3000}" for i in range(n)],
+        }
+    )
+    return spark.createDataFrame(pdf).repartition(6), pdf
+
+
+def test_hll_relational_matches_core(spark, items_df):
+    sdf, pdf = items_df
+    p = 10
+    regs = sk.hll_registers(sdf, "item", ["g"], p=p).toPandas()
+    for g, sub in pdf.groupby("g"):
+        core = HyperLogLog(p).add_hashes(portable_hash64_np(sub["item"].tolist()))
+        mine = regs[regs["g"] == g]
+        expect = {
+            (i, int(r)) for i, r in enumerate(core.registers) if r > 0
+        }
+        got = {(int(r.reg), int(r.rho)) for r in mine.itertuples()}
+        assert got == expect
+    # relational estimate == core estimate
+    est = (
+        sk.hll_estimate_relational(sdf, "item", ["g"], p=p)
+        .toPandas()
+        .set_index("g")["est"]
+    )
+    for g, sub in pdf.groupby("g"):
+        core = HyperLogLog(p).add_hashes(portable_hash64_np(sub["item"].tolist()))
+        assert est[g] == pytest.approx(core.estimate(), abs=1e-3)
+
+
+def test_hll_udaf_matches_relational(spark, items_df):
+    sdf, _ = items_df
+    p = 10
+    rel = (
+        sk.hll_estimate_relational(sdf, "item", ["g"], p=p)
+        .toPandas()
+        .set_index("g")["est"]
+    )
+    udaf = (
+        sk.hll_agg(sdf, "item", ["g"], p=p)
+        .select("g", sk.hll_estimate_udf(F.col("sketch")).alias("est"))
+        .toPandas()
+        .set_index("g")["est"]
+    )
+    pd.testing.assert_series_equal(rel.sort_index(), udaf.sort_index())
+
+
+def test_cms_udaf_matches_relational(spark, items_df):
+    sdf, pdf = items_df
+    counters_rel = sk.cms_counters(sdf, "item", ["g"], depth=4, width=256).toPandas()
+    blobs = sk.cms_agg(sdf, "item", ["g"], depth=4, width=256).collect()
+    from sketches_go_spark.core.cms import CountMinSketch
+
+    for row in blobs:
+        cms = CountMinSketch.from_bytes(bytes(row["sketch"]))
+        sub = counters_rel[counters_rel["g"] == row["g"]]
+        table = np.zeros((4, 256))
+        for r in sub.itertuples():
+            table[int(r.row), int(r.col)] = r.cnt
+        assert np.array_equal(cms.table, table)
+
+
+def test_bloom_udaf_matches_relational(spark, items_df):
+    sdf, _ = items_df
+    bits_rel = sk.bloom_bits(sdf, "item", ["g"], m_bits=2048, k=4).toPandas()
+    blobs = sk.bloom_agg(sdf, "item", ["g"], m_bits=2048, k=4).collect()
+    from sketches_go_spark.core.bloom import BloomFilter
+
+    for row in blobs:
+        bf = BloomFilter.from_bytes(bytes(row["sketch"]))
+        expect = set(bits_rel[bits_rel["g"] == row["g"]]["pos"])
+        assert set(np.flatnonzero(bf.bits)) == expect
+
+
+def test_kll_tdigest_spark_accuracy(spark):
+    n = 60000
+    values = RNG.lognormal(2, 1.5, n)
+    pdf = pd.DataFrame({"g": ["all"] * n, "v": values})
+    sdf = spark.createDataFrame(pdf).repartition(8)
+    sv = np.sort(values)
+
+    kll = sk.kll_agg(sdf, "v", ["g"], k=200).collect()[0]
+    ks = KLLSketch.from_bytes(bytes(kll["sketch"]))
+    assert ks.n == n
+    for q in (0.1, 0.5, 0.9, 0.99):
+        rank = np.searchsorted(sv, ks.quantile(q)) / n
+        assert abs(rank - q) <= 4 * ks.epsilon
+
+    td_row = sk.tdigest_agg(sdf, "v", ["g"], delta=200.0).collect()[0]
+    td = TDigest.from_bytes(bytes(td_row["sketch"]))
+    assert td.n == n
+    for q, tol in ((0.01, 0.005), (0.5, 0.02), (0.99, 0.005), (0.999, 0.002)):
+        rank = np.searchsorted(sv, td.quantile(q)) / n
+        assert abs(rank - q) <= tol
