@@ -24,6 +24,10 @@ from sketches_go_spark.core.ddsketch import DDSketchConfig
 from sketches_go_spark.functions import ddsketch_fns as dd
 from sketches_go_spark.functions import oracles
 from sketches_go_spark.functions import sketch_fns as sk
+from sketches_go_spark.operators import dedup
+from sketches_go_spark.operators import oracles_pipeline as opl
+from sketches_go_spark.operators import similarity as sim
+from sketches_go_spark.operators import text as ops_text
 from sketches_go_spark.sources.transcripts import transcripts_from_events, transcripts_sql
 
 ALPHA = 0.01
@@ -231,6 +235,90 @@ def q_tdigest_latency_by_role(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("role", "p50", "p95", "p99").orderBy("role")
 
 
+# ------------------------------------------- training-data pipeline operators
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _embs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality features + score per document (pure Catalyst string math)."""
+    out = ops_text.quality_features(_docs(spark, sf_dir))
+    return out.select(
+        "doc_id", "n_chars", "n_tokens", "avg_token_len", "stopword_frac",
+        "quality_score",
+    ).orderBy("doc_id")
+
+
+def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-word language ID (oracle-exact variant; trigram-profile variant
+    is tested in pytest)."""
+    return ops_text.langid_markers(_docs(spark, sf_dir)).select(
+        "doc_id", "lang_pred"
+    ).orderBy("doc_id")
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: normalized-content fingerprint, canonical = min doc_id."""
+    return dedup.exact_dedup(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs by 3-gram Jaccard >= 0.5 (shingle inverted-index join)."""
+    return dedup.ngram_jaccard_pairs(
+        _docs(spark, sf_dir), threshold=0.5
+    ).orderBy("id_a", "id_b")
+
+
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(16)+LSH(4x4) candidates, exact-Jaccard verified >= 0.5."""
+    return dedup.minhash_lsh_pairs(
+        _docs(spark, sf_dir), num_perm=16, band_size=4, threshold=0.5
+    ).orderBy("id_a", "id_b")
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash fingerprints per document."""
+    return dedup.simhash(_docs(spark, sf_dir), bits=16).orderBy("doc_id")
+
+
+def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (hamming <= 1) blocked by lang."""
+    return dedup.simhash_pairs(
+        _docs(spark, sf_dir), bits=16, max_hamming=1, block_col="lang"
+    ).orderBy("id_a", "id_b")
+
+
+def q_sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-5 neighbors for the first 5 vectors (baseline)."""
+    embs = _embs(spark, sf_dir)
+    queries = embs.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return sim.brute_force_topk(embs, queries, k=5).orderBy("query_id", "rank")
+
+
+def q_sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-5 via random-hyperplane LSH buckets (the 100-TB scale path)."""
+    embs = _embs(spark, sf_dir)
+    queries = embs.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return sim.lsh_ann_topk(embs, queries, k=5, n_planes=8).orderBy(
+        "query_id", "rank"
+    )
+
+
+def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs (cosine >= 0.3) within LSH buckets."""
+    return sim.embedding_neardup_pairs(
+        _embs(spark, sf_dir), threshold=0.3, n_planes=8
+    ).orderBy("id_a", "id_b")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: per-tool p50/p95/p99 inter-turn latency (DDSketch relational
     path over the transcripts derivation) at sf0.001."""
@@ -253,6 +341,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_probe_tools": q_bloom_probe_tools,
         "kll_latency_by_role": q_kll_latency_by_role,
         "tdigest_latency_by_role": q_tdigest_latency_by_role,
+        "text_quality": q_text_quality,
+        "text_langid": q_text_langid,
+        "dedup_exact": q_dedup_exact,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_simhash": q_dedup_simhash,
+        "dedup_simhash_pairs": q_dedup_simhash_pairs,
+        "sim_topk_bruteforce": q_sim_topk_bruteforce,
+        "sim_ann_lsh": q_sim_ann_lsh,
+        "embedding_neardup": q_embedding_neardup,
     }
 
 
@@ -316,4 +414,14 @@ def oracle_sql() -> dict[str, str]:
         # (order-sensitive state) -> rows-only driver check; accuracy bounds
         # are asserted in pytest instead (tests/test_companion_sketches.py,
         # tests/test_sketch_fns_spark.py)
+        "text_quality": opl.quality_features_oracle(),
+        "text_langid": opl.langid_markers_oracle(),
+        "dedup_exact": opl.exact_dedup_oracle(),
+        "dedup_ngram_jaccard": opl.ngram_jaccard_oracle(threshold=0.5),
+        "dedup_minhash_lsh": opl.minhash_lsh_oracle(threshold=0.5),
+        "dedup_simhash": opl.simhash_oracle(),
+        "dedup_simhash_pairs": opl.simhash_pairs_oracle(max_hamming=1),
+        "sim_topk_bruteforce": opl.brute_force_topk_oracle(),
+        "sim_ann_lsh": opl.lsh_ann_topk_oracle(),
+        "embedding_neardup": opl.embedding_neardup_oracle(threshold=0.3),
     }

@@ -1,0 +1,121 @@
+"""Benchmark harness — prints ONE JSON line with per-query seconds.
+
+Run:  SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_CPUS=32 python bench.py
+
+Headline queries: the driver-contract sketch queries at the given sf plus a
+large synthetic transcripts sketch-build (the 100-TB proxy: generation is
+pure Catalyst, so the measured cost is dominated by the sketch pipeline
+itself).  The primary metric is wall seconds; `turns_per_sec` reports
+sketch-build+merge throughput on the synthetic table per BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+SYNTH_TURNS = int(os.environ.get("SGS_BENCH_SYNTH_TURNS", "5000000"))
+
+
+def main() -> None:
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from pyspark.sql import functions as F
+
+    import __spark_entry__ as entry
+    from sketches_go_spark.core.ddsketch import DDSketchConfig
+    from sketches_go_spark.functions import ddsketch_fns as dd
+    from sketches_go_spark.functions import sketch_fns as sk
+    from sketches_go_spark.plans.session import get_spark
+    from sketches_go_spark.sources.transcripts import synth_transcripts
+
+    spark = get_spark(cores=CPUS, shuffle_partitions=2 * CPUS, app_name="sgs-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    qfns = entry.queries()
+    bench_queries = [
+        "ddsketch_latency_by_tool",
+        "ddsketch_bins_histogram",
+        "ddsketch_udaf_textlen_by_role",
+        "hll_distinct_convs_by_role",
+        "cms_tool_counts",
+        "bloom_probe_tools",
+        "kll_latency_by_role",
+        "tdigest_latency_by_role",
+    ]
+
+    def run(df) -> int:
+        # count() forces full execution without driver-side materialization
+        return df.count()
+
+    timings: dict[str, float] = {}
+
+    # warm-up (JVM + Arrow + Python workers)
+    run(qfns["ddsketch_latency_by_tool"](spark, SF_DIR))
+
+    for name in bench_queries:
+        t0 = time.perf_counter()
+        run(qfns[name](spark, SF_DIR))
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    # ---- synthetic scale proxy: DDSketch build+merge over N turns ----------
+    # Materialize the synthetic transcripts table once (generation cost is a
+    # fixture concern, not engine throughput — mirrors reading a pre-existing
+    # 100 TB table), then benchmark read -> sketch -> merge -> extract.
+    cache = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        ".bench_cache",
+        f"synth_{SYNTH_TURNS}.parquet",
+    )
+    if not os.path.exists(cache):
+        synth_transcripts(spark, SYNTH_TURNS, with_text=True).write.mode(
+            "overwrite"
+        ).parquet(cache)
+    synth = spark.read.parquet(cache)
+
+    cfg = DDSketchConfig(alpha=0.01)
+    src = synth.select("role", F.length("text").cast("double").alias("v"))
+    t0 = time.perf_counter()
+    run(dd.ddsketch_quantiles_relational(src, "v", ["role"], (0.5, 0.95, 0.99), cfg))
+    dt = time.perf_counter() - t0
+    timings["synth_ddsketch_relational"] = round(dt, 3)
+    turns_per_sec = SYNTH_TURNS / dt
+
+    # the same build through the UDAF (sketch-value) path, incl. skewed
+    # conv_id grouping exercised by the synthetic hot keys
+    t0 = time.perf_counter()
+    run(
+        dd.with_quantiles(
+            dd.ddsketch_agg(src, "v", ["role"], cfg), (0.5, 0.95, 0.99)
+        )
+    )
+    timings["synth_ddsketch_udaf"] = round(time.perf_counter() - t0, 3)
+
+    # synthetic HLL (distinct convs over N turns)
+    t0 = time.perf_counter()
+    run(sk.hll_estimate_relational(synth.select("conv_id", "role"), "conv_id", ["role"], p=12))
+    timings["synth_hll_relational"] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline sketch queries wall time (sum)",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": SF_DIR.rstrip("/").split("sf")[-1],
+                "turns_per_sec": round(turns_per_sec),
+                "synth_turns": SYNTH_TURNS,
+                "cpus": CPUS,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

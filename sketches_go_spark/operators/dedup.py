@@ -1,0 +1,284 @@
+"""Deduplication operators for training-data pipelines.
+
+Five families, all DataFrame-native and shuffle-conscious:
+
+- **exact**: hash-groupBy on a normalized-content fingerprint; one map-side
+  combined shuffle on the 60-bit hash (no text moves over the wire).
+- **n-gram Jaccard**: word-shingle inverted index as the blocking join
+  (shingle -> candidate pairs -> exact Jaccard).  A document-frequency cap
+  drops ubiquitous shingles before the self-join — the classic guard against
+  quadratic blow-up on hot shingles at scale.
+- **MinHash + LSH**: k hash-permutation minima computed in ONE pass over the
+  exploded shingles (k min-aggregates, no k-fold row blow-up), banded into
+  buckets; pairs sharing a bucket are candidates, then exact-Jaccard refined.
+- **SimHash**: sign-aggregated token-hash bits -> b-bit fingerprint; near-dup
+  pairs via hamming distance <= d within blocking keys.
+- **embedding cosine** near-dup lives in operators.similarity.
+
+Every operator uses the portable 60-bit hash so the DuckDB oracle replays it
+exactly (see functions.oracles / __spark_entry__)."""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from sketches_go_spark.functions.expressions import portable_hash64
+from sketches_go_spark.operators.text import doc_fingerprint
+
+
+def _col(c: str | Column) -> Column:
+    return F.col(c) if isinstance(c, str) else c
+
+
+# ---------------------------------------------------------------------- exact
+def exact_dedup(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, fingerprint, is_canonical): canonical = min id per fingerprint.
+    Filter ``is_canonical`` to materialize the deduplicated corpus."""
+    fp = doc_fingerprint(_col(text_col))
+    with_fp = df.select(_col(id_col).alias(id_col), fp.alias("fingerprint"))
+    # min(id) over a window on the fingerprint: one shuffle, no join
+    from pyspark.sql.window import Window
+
+    keep = F.min(id_col).over(Window.partitionBy("fingerprint"))
+    return with_fp.select(
+        id_col, "fingerprint", (F.col(id_col) == keep).alias("is_canonical")
+    )
+
+
+# ------------------------------------------------------------------- shingles
+def word_shingles(text: Column, n: int = 3) -> Column:
+    """Array of word n-gram shingle strings (space-joined), pure Catalyst:
+    split once, then slice via transform(sequence(...))."""
+    words = F.split(F.lower(F.trim(text)), " ")
+    cnt = F.size(words)
+    idx = F.sequence(F.lit(0), F.greatest(cnt - n, F.lit(0)))
+    make = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(words, (i + j + 1).cast("int")) for j in range(n)]
+        ),
+    )
+    return F.when(cnt >= n, make).otherwise(F.array())
+
+
+def shingle_rel(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3
+) -> DataFrame:
+    """(id, shingle) distinct relation."""
+    return (
+        df.select(_col(id_col).alias(id_col), word_shingles(_col(text_col), n).alias("sh"))
+        .select(id_col, F.explode("sh").alias("shingle"))
+        .distinct()
+    )
+
+
+# -------------------------------------------------------------- ngram jaccard
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+    df_cap: int = 1000,
+    sim_decimals: int = 6,
+) -> DataFrame:
+    """(id_a, id_b, jaccard) for pairs with n-gram Jaccard >= threshold.
+
+    The shingle relation IS the blocking index: the self-join key is the
+    shingle, so only documents sharing at least one (rare-enough) shingle
+    ever meet.  ``df_cap`` removes shingles appearing in more than that many
+    documents before the join — at 100 TB a single hot shingle would
+    otherwise produce a quadratic reducer."""
+    sh = shingle_rel(df, id_col, text_col, n)
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    rare = (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("docfreq"))
+        .where(F.col("docfreq") <= df_cap)
+        .select("shingle")
+    )
+    sh_r = sh.join(rare, "shingle")
+    a = sh_r.select(F.col(id_col).alias("id_a"), "shingle")
+    b = sh_r.select(F.col(id_col).alias("id_b"), "shingle")
+    common = (
+        a.join(b, "shingle")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    out = (
+        common.join(sizes.withColumnRenamed(id_col, "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
+        .join(sizes.withColumnRenamed(id_col, "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("common") / (F.col("sz_a") + F.col("sz_b") - F.col("common")),
+                sim_decimals,
+            ),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    return out
+
+
+# ---------------------------------------------------------------- minhash lsh
+def minhash_salt(j: int) -> str:
+    return f"mh{j}:"
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_perm: int = 16,
+) -> DataFrame:
+    """(id, sig_0..sig_{k-1}): k permutation minima in ONE aggregation pass
+    over the exploded shingles (k min-columns, not k explode passes)."""
+    sh = shingle_rel(df, id_col, text_col, n)
+    mins = [
+        F.min(portable_hash64(F.col("shingle"), minhash_salt(j))).alias(f"sig_{j}")
+        for j in range(num_perm)
+    ]
+    return sh.groupBy(id_col).agg(*mins)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_perm: int = 16,
+    band_size: int = 4,
+    threshold: float = 0.5,
+    sim_decimals: int = 6,
+) -> DataFrame:
+    """MinHash-LSH candidate generation + exact-Jaccard verification.
+
+    Bands of ``band_size`` rows hash to buckets; documents sharing any
+    (band, bucket) are candidates — collision probability ≈ 1-(1-s^r)^b for
+    similarity s.  Candidates are then verified with the exact n-gram
+    Jaccard, so the output has no false positives."""
+    assert num_perm % band_size == 0
+    sigs = minhash_signatures(df, id_col, text_col, n, num_perm)
+    n_bands = num_perm // band_size
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                portable_hash64(
+                    F.concat_ws(
+                        "_",
+                        *[
+                            F.col(f"sig_{b * band_size + i}").cast("string")
+                            for i in range(band_size)
+                        ],
+                    ),
+                    "band:",
+                ).alias("bucket"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    buckets = sigs.select(id_col, F.explode(bands).alias("bb")).select(
+        id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    )
+    a = buckets.select(F.col(id_col).alias("id_a"), "band", "bucket")
+    b = buckets.select(F.col(id_col).alias("id_b"), "band", "bucket")
+    cand = (
+        a.join(b, ["band", "bucket"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    # exact verification of candidates only
+    sh = shingle_rel(df, id_col, text_col, n)
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    sh_a = sh.select(F.col(id_col).alias("id_a"), "shingle")
+    sh_b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    common = (
+        cand.join(sh_a, "id_a")
+        .join(sh_b, ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    out = (
+        common.join(sizes.withColumnRenamed(id_col, "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
+        .join(sizes.withColumnRenamed(id_col, "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("common") / (F.col("sz_a") + F.col("sz_b") - F.col("common")),
+                sim_decimals,
+            ),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    return out
+
+
+# -------------------------------------------------------------------- simhash
+def simhash(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 16,
+) -> DataFrame:
+    """(id, simhash): b-bit sign-aggregated token-hash fingerprint.
+
+    tokens -> portable hash -> per-bit +-1 votes -> sign.  One explode + one
+    map-side-combined groupBy; the per-bit sums are b aggregate columns."""
+    words = F.split(F.lower(F.trim(_col(text_col))), " ")
+    toks = df.select(_col(id_col).alias(id_col), F.explode(words).alias("tok"))
+    h = portable_hash64(F.col("tok"), "sh:")
+    votes = [
+        F.sum(
+            F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{i}")
+        for i in range(bits)
+    ]
+    agg = toks.groupBy(id_col).agg(*votes)
+    sig = None
+    for i in range(bits):
+        bit = F.when(F.col(f"b{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
+        sig = bit if sig is None else (sig + bit)
+    return agg.select(id_col, sig.cast("bigint").alias("simhash"))
+
+
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 16,
+    max_hamming: int = 3,
+    block_col: str | None = None,
+) -> DataFrame:
+    """(id_a, id_b, hamming) pairs with hamming(simhash) <= max_hamming.
+
+    Blocking: join within ``block_col`` when given (e.g. lang); otherwise the
+    high byte of the simhash is the block key (near-dups share high bits with
+    overwhelming probability for small d)."""
+    sig = simhash(df, id_col, text_col, bits)
+    if block_col is not None:
+        blocks = df.select(_col(id_col).alias(id_col), _col(block_col).alias("_blk"))
+        sig = sig.join(blocks, id_col)
+    else:
+        sig = sig.withColumn("_blk", F.shiftright(F.col("simhash"), bits - 8))
+    a = sig.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"), "_blk")
+    b = sig.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b"), "_blk")
+    return (
+        a.join(b, "_blk")
+        .where(F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

@@ -1,0 +1,262 @@
+"""DuckDB oracle SQL for the training-data pipeline operators
+(dedup / similarity / text analysis) — exact replays of the Spark operators
+using the shared portable hash and identical fold orders (DuckDB's list_sum
+is a sequential left fold, verified)."""
+
+from __future__ import annotations
+
+from sketches_go_spark.operators.dedup import minhash_salt
+from sketches_go_spark.operators.similarity import hyperplane
+from sketches_go_spark.operators.text import (
+    LANG_MARKERS,
+    doc_fingerprint_sql,
+    occurrences_sql,
+    quality_features_sql,
+)
+
+
+def _hash_sql(expr: str, salt: str = "") -> str:
+    inner = f"concat('{salt}', cast({expr} as string))"
+    return f"cast(concat('0x', substr(md5({inner}), 1, 15)) as bigint)"
+
+
+# ------------------------------------------------------------------- text ops
+def quality_features_oracle(src: str = "documents") -> str:
+    cols = quality_features_sql("text")
+    sel = ", ".join(f"{expr} AS {name}" for name, expr in cols.items())
+    return f"SELECT doc_id, {sel} FROM {src} ORDER BY doc_id"
+
+
+def langid_markers_oracle(src: str = "documents") -> str:
+    padded = "concat(' ', lower(trim(text)), ' ')"
+    score_exprs = {
+        lang: " + ".join(occurrences_sql(padded, f" {w} ") for w in LANG_MARKERS[lang])
+        for lang in sorted(LANG_MARKERS)
+    }
+    best = "greatest(" + ", ".join(f"({s})" for s in score_exprs.values()) + ")"
+    pick = "'und'"
+    for lang in sorted(LANG_MARKERS, reverse=True):
+        pick = (
+            f"CASE WHEN ({score_exprs[lang]}) = sgs_best THEN '{lang}' ELSE {pick} END"
+        )
+    return f"""SELECT doc_id, CASE WHEN sgs_best > 0 THEN {pick} ELSE 'und' END AS lang_pred
+FROM (SELECT doc_id, text, {best} AS sgs_best FROM {src})
+ORDER BY doc_id"""
+
+
+def exact_dedup_oracle(src: str = "documents") -> str:
+    fp = doc_fingerprint_sql("text")
+    return f"""SELECT doc_id, fingerprint,
+       doc_id = min(doc_id) OVER (PARTITION BY fingerprint) AS is_canonical
+FROM (SELECT doc_id, {fp} AS fingerprint FROM {src})
+ORDER BY doc_id"""
+
+
+# ------------------------------------------------------------------ shingling
+def _shingle_cte(src: str, n: int = 3) -> str:
+    """(doc_id, shingle) distinct relation: word n-grams."""
+    words = "string_split(lower(trim(text)), ' ')"
+    grams = (
+        f"list_transform(range(1, greatest(len({words}) - {n - 1}, 0) + 1), "
+        f"i -> concat("
+        + ", ' ', ".join(f"({words})[i + {j}]" for j in range(n))
+        + "))"
+    )
+    return f"""sgs_sh AS (
+  SELECT DISTINCT doc_id, unnest({grams}) AS shingle FROM {src}
+)"""
+
+
+def ngram_jaccard_oracle(
+    src: str = "documents", n: int = 3, threshold: float = 0.2, df_cap: int = 1000
+) -> str:
+    return f"""WITH {_shingle_cte(src, n)},
+sgs_sizes AS (SELECT doc_id, count(*) AS sz FROM sgs_sh GROUP BY doc_id),
+sgs_rare AS (
+  SELECT shingle FROM sgs_sh GROUP BY shingle HAVING count(*) <= {df_cap}
+),
+sgs_shr AS (SELECT s.* FROM sgs_sh s JOIN sgs_rare USING (shingle)),
+sgs_common AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+  FROM sgs_shr a JOIN sgs_shr b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT id_a, id_b,
+       round(common / (sa.sz + sb.sz - common), 6) AS jaccard
+FROM sgs_common
+JOIN sgs_sizes sa ON sa.doc_id = id_a
+JOIN sgs_sizes sb ON sb.doc_id = id_b
+WHERE round(common / (sa.sz + sb.sz - common), 6) >= {threshold}
+ORDER BY id_a, id_b"""
+
+
+def minhash_lsh_oracle(
+    src: str = "documents",
+    n: int = 3,
+    num_perm: int = 16,
+    band_size: int = 4,
+    threshold: float = 0.2,
+) -> str:
+    n_bands = num_perm // band_size
+    sig_cols = ", ".join(
+        f"min({_hash_sql('shingle', minhash_salt(j))}) AS sig_{j}"
+        for j in range(num_perm)
+    )
+    band_rows = "\nUNION ALL\n".join(
+        f"SELECT doc_id, {b} AS band, "
+        + _hash_sql(
+            "concat_ws('_', "
+            + ", ".join(
+                f"cast(sig_{b * band_size + i} AS string)" for i in range(band_size)
+            )
+            + ")",
+            "band:",
+        )
+        + " AS bucket FROM sgs_sigs"
+        for b in range(n_bands)
+    )
+    return f"""WITH {_shingle_cte(src, n)},
+sgs_sizes AS (SELECT doc_id, count(*) AS sz FROM sgs_sh GROUP BY doc_id),
+sgs_sigs AS (SELECT doc_id, {sig_cols} FROM sgs_sh GROUP BY doc_id),
+sgs_buckets AS ({band_rows}),
+sgs_cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM sgs_buckets a
+  JOIN sgs_buckets b ON a.band = b.band AND a.bucket = b.bucket
+                     AND a.doc_id < b.doc_id
+),
+sgs_common AS (
+  SELECT c.id_a, c.id_b, count(*) AS common
+  FROM sgs_cand c
+  JOIN sgs_sh sa ON sa.doc_id = c.id_a
+  JOIN sgs_sh sb ON sb.doc_id = c.id_b AND sb.shingle = sa.shingle
+  GROUP BY c.id_a, c.id_b
+)
+SELECT id_a, id_b, round(common / (sa.sz + sb.sz - common), 6) AS jaccard
+FROM sgs_common
+JOIN sgs_sizes sa ON sa.doc_id = id_a
+JOIN sgs_sizes sb ON sb.doc_id = id_b
+WHERE round(common / (sa.sz + sb.sz - common), 6) >= {threshold}
+ORDER BY id_a, id_b"""
+
+
+def simhash_oracle(src: str = "documents", bits: int = 16) -> str:
+    h = _hash_sql("tok", "sh:")
+    votes = ", ".join(
+        f"sum(CASE WHEN (({h}) >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS b{i}"
+        for i in range(bits)
+    )
+    sig = " + ".join(f"(CASE WHEN b{i} > 0 THEN {1 << i} ELSE 0 END)" for i in range(bits))
+    return f"""WITH sgs_toks AS (
+  SELECT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS tok FROM {src}
+),
+sgs_votes AS (SELECT doc_id, {votes} FROM sgs_toks GROUP BY doc_id)
+SELECT doc_id, cast({sig} AS bigint) AS simhash FROM sgs_votes ORDER BY doc_id"""
+
+
+def simhash_pairs_oracle(
+    src: str = "documents", bits: int = 16, max_hamming: int = 3,
+    block_col: str = "lang",
+) -> str:
+    base = simhash_oracle(src, bits).rsplit("ORDER BY", 1)[0]
+    return f"""WITH sgs_simhash AS ({base}),
+sgs_blocked AS (
+  SELECT s.doc_id, s.simhash, d.{block_col} AS blk
+  FROM sgs_simhash s JOIN {src} d USING (doc_id)
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       cast(bit_count(xor(a.simhash, b.simhash)) AS int) AS hamming
+FROM sgs_blocked a
+JOIN sgs_blocked b ON a.blk = b.blk AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
+ORDER BY id_a, id_b"""
+
+
+# ----------------------------------------------------------------- similarity
+def _dot_sql(a: str, b: str, dim: int) -> str:
+    return (
+        f"list_sum(list_transform(range(1, {dim + 1}), "
+        f"i -> cast(({a})[i] AS double) * cast(({b})[i] AS double)))"
+    )
+
+
+def _norm_sql(a: str, dim: int) -> str:
+    return (
+        f"sqrt(list_sum(list_transform(range(1, {dim + 1}), "
+        f"i -> cast(({a})[i] AS double) * cast(({a})[i] AS double))))"
+    )
+
+
+def _cos_sql(a: str, b: str, dim: int, decimals: int = 4) -> str:
+    return (
+        f"round({_dot_sql(a, b, dim)} / ({_norm_sql(a, dim)} * {_norm_sql(b, dim)}),"
+        f" {decimals})"
+    )
+
+
+def brute_force_topk_oracle(
+    src: str = "embeddings", n_queries: int = 5, k: int = 5, dim: int = 64
+) -> str:
+    cos = _cos_sql("q.embedding", "v.embedding", dim)
+    return f"""WITH sgs_q AS (SELECT vec_id AS query_id, embedding FROM {src} WHERE vec_id < {n_queries}),
+sgs_sims AS (
+  SELECT q.query_id, v.vec_id, {cos} AS sim
+  FROM {src} v CROSS JOIN sgs_q q
+),
+sgs_ranked AS (
+  SELECT query_id, vec_id, sim,
+         cast(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id ASC) AS int) AS rank
+  FROM sgs_sims
+)
+SELECT query_id, rank, vec_id, sim FROM sgs_ranked WHERE rank <= {k}
+ORDER BY query_id, rank"""
+
+
+def _plane_literal(j: int, dim: int) -> str:
+    return "[" + ", ".join(repr(x) for x in hyperplane(j, dim)) + "]"
+
+
+def _bucket_sql(vec: str, n_planes: int, dim: int) -> str:
+    terms = []
+    for j in range(n_planes):
+        proj = _dot_sql(vec, _plane_literal(j, dim), dim)
+        terms.append(f"(CASE WHEN {proj} > 0 THEN {1 << j} ELSE 0 END)")
+    return "cast(" + " + ".join(terms) + " AS bigint)"
+
+
+def lsh_ann_topk_oracle(
+    src: str = "embeddings",
+    n_queries: int = 5,
+    k: int = 5,
+    n_planes: int = 8,
+    dim: int = 64,
+) -> str:
+    bucket_v = _bucket_sql("v.embedding", n_planes, dim)
+    bucket_q = _bucket_sql("q.embedding", n_planes, dim)
+    cos = _cos_sql("q.embedding", "v.embedding", dim)
+    return f"""WITH sgs_v AS (SELECT vec_id, embedding, {_bucket_sql('embedding', n_planes, dim)} AS bkt FROM {src}),
+sgs_q AS (SELECT vec_id AS query_id, embedding,
+                 {_bucket_sql('embedding', n_planes, dim)} AS bkt
+          FROM {src} WHERE vec_id < {n_queries}),
+sgs_sims AS (
+  SELECT q.query_id, v.vec_id, {cos} AS sim
+  FROM sgs_v v JOIN sgs_q q ON v.bkt = q.bkt
+),
+sgs_ranked AS (
+  SELECT query_id, vec_id, sim,
+         cast(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id ASC) AS int) AS rank
+  FROM sgs_sims
+)
+SELECT query_id, rank, vec_id, sim FROM sgs_ranked WHERE rank <= {k}
+ORDER BY query_id, rank"""
+
+
+def embedding_neardup_oracle(
+    src: str = "embeddings", threshold: float = 0.8, n_planes: int = 8, dim: int = 64
+) -> str:
+    cos = _cos_sql("a.embedding", "b.embedding", dim)
+    return f"""WITH sgs_v AS (SELECT vec_id, embedding, {_bucket_sql('embedding', n_planes, dim)} AS bkt FROM {src})
+SELECT a.vec_id AS id_a, b.vec_id AS id_b, {cos} AS sim
+FROM sgs_v a JOIN sgs_v b ON a.bkt = b.bkt AND a.vec_id < b.vec_id
+WHERE {cos} >= {threshold}
+ORDER BY id_a, id_b"""

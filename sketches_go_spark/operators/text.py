@@ -1,0 +1,231 @@
+"""Text analysis operators for training-data pipelines — token counting,
+quality scoring, language ID, document fingerprinting.
+
+All hot paths are pure Catalyst string arithmetic (whole-stage codegen, no
+regex where a replace-count identity suffices, no Python).  Every operator
+has a DuckDB-oracle twin built from the same engine-portable identities:
+
+    occurrences(s, sub) = (length(s) - length(replace(s, sub, ''))) / length(sub)
+    token_count(s)      = occurrences(' '||trim(s)||' ', ' ') - 1   (for s != '')
+
+Language ID ships two implementations: a marker-word scorer (pure Catalyst,
+oracle-exact) and a trigram-profile scorer (vectorized pandas UDF) for real
+multilingual text; the profile version is the production default, the marker
+version is what the cross-engine correctness gate replays.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Sequence
+
+import pandas as pd
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import StringType
+
+from sketches_go_spark.functions.expressions import portable_hash64
+
+
+def _col(c: str | Column) -> Column:
+    return F.col(c) if isinstance(c, str) else c
+
+
+def occurrences(text: Column, sub: str) -> Column:
+    """Number of (possibly overlapping-free) occurrences of ``sub`` — pure
+    string arithmetic, identical in any SQL engine."""
+    return (
+        (F.length(text) - F.length(F.replace(text, F.lit(sub), F.lit(""))))
+        / F.lit(len(sub))
+    ).cast("int")
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace-token count via the space-counting identity (no regex, no
+    split-array materialization)."""
+    t = F.trim(text)
+    padded = F.concat(F.lit(" "), t, F.lit(" "))
+    return F.when(F.length(t) == 0, F.lit(0)).otherwise(
+        occurrences(padded, " ") - F.lit(1)
+    )
+
+
+# Engine-portable SQL twins (DuckDB dialect == ANSI here)
+def occurrences_sql(expr: str, sub: str) -> str:
+    esc = sub.replace("'", "''")
+    return (
+        f"cast((length({expr}) - length(replace({expr}, '{esc}', '')))"
+        f" / {len(sub)} AS int)"
+    )
+
+
+def token_count_sql(expr: str) -> str:
+    padded = f"concat(' ', trim({expr}), ' ')"
+    return (
+        f"CASE WHEN length(trim({expr})) = 0 THEN 0 "
+        f"ELSE {occurrences_sql(padded, ' ')} - 1 END"
+    )
+
+
+STOPWORDS = ("the", "a", "of", "and", "to")
+
+
+def quality_features(
+    df: DataFrame, text_col: str | Column = "text"
+) -> DataFrame:
+    """Append deterministic quality features: n_chars, n_tokens,
+    avg_token_len, stopword_frac, quality_score (logistic of the features,
+    rounded).  Pure Catalyst."""
+    text = _col(text_col)
+    toks = token_count(text)
+    n_chars = F.length(text)
+    spaces = occurrences(text, " ")
+    avg_tok = F.when(toks > 0, (n_chars - spaces).cast("double") / toks).otherwise(
+        F.lit(0.0)
+    )
+    padded = F.concat(F.lit(" "), F.trim(text), F.lit(" "))
+    stop_hits = None
+    for w in STOPWORDS:
+        h = occurrences(padded, f" {w} ")
+        stop_hits = h if stop_hits is None else (stop_hits + h)
+    stop_frac = F.when(toks > 0, stop_hits.cast("double") / toks).otherwise(F.lit(0.0))
+    score = F.lit(1.0) / (
+        F.lit(1.0)
+        + F.exp(
+            -(
+                F.lit(-1.0)
+                + F.log(toks.cast("double") + F.lit(1.0)) * F.lit(0.5)
+                + stop_frac * F.lit(2.0)
+                - F.when(avg_tok > 12, avg_tok - 12).otherwise(F.lit(0.0)) * F.lit(0.5)
+            )
+        )
+    )
+    return (
+        df.withColumn("n_chars", n_chars)
+        .withColumn("n_tokens", toks)
+        .withColumn("avg_token_len", F.round(avg_tok, 6))
+        .withColumn("stopword_frac", F.round(stop_frac, 6))
+        .withColumn("quality_score", F.round(score, 6))
+    )
+
+
+def quality_features_sql(text_expr: str) -> dict[str, str]:
+    """DuckDB expressions mirroring quality_features, keyed by column name."""
+    toks = token_count_sql(text_expr)
+    padded = f"concat(' ', trim({text_expr}), ' ')"
+    spaces = occurrences_sql(text_expr, " ")
+    stop_hits = " + ".join(occurrences_sql(padded, f" {w} ") for w in STOPWORDS)
+    avg = (
+        f"CASE WHEN ({toks}) > 0 THEN cast(length({text_expr}) - {spaces} AS double)"
+        f" / ({toks}) ELSE 0.0 END"
+    )
+    stop_frac = (
+        f"CASE WHEN ({toks}) > 0 THEN cast({stop_hits} AS double) / ({toks})"
+        f" ELSE 0.0 END"
+    )
+    score = (
+        f"1.0 / (1.0 + exp(-(-1.0 + ln(cast({toks} AS double) + 1.0) * 0.5"
+        f" + ({stop_frac}) * 2.0"
+        f" - (CASE WHEN ({avg}) > 12 THEN ({avg}) - 12 ELSE 0.0 END) * 0.5)))"
+    )
+    return {
+        "n_chars": f"length({text_expr})",
+        "n_tokens": toks,
+        "avg_token_len": f"round({avg}, 6)",
+        "stopword_frac": f"round({stop_frac}, 6)",
+        "quality_score": f"round({score}, 6)",
+    }
+
+
+# ---------------------------------------------------------------- language ID
+# marker-word scorer: pure Catalyst, oracle-exact.  Scores = occurrences of
+# language-characteristic words; argmax with deterministic tie-break by
+# language code; 'und' when nothing matches.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "with"),
+    "de": ("der", "und", "nicht", "ist"),
+    "fr": ("le", "et", "les", "est"),
+    "es": ("el", "que", "los", "por"),
+    "zh": ("的", "是", "了", "在"),
+}
+
+
+def langid_markers(df: DataFrame, text_col: str | Column = "text") -> DataFrame:
+    text = _col(text_col)
+    padded = F.concat(F.lit(" "), F.lower(F.trim(text)), F.lit(" "))
+    scores = []
+    for lang in sorted(LANG_MARKERS):
+        s = None
+        for w in LANG_MARKERS[lang]:
+            h = occurrences(padded, f" {w} ")
+            s = h if s is None else (s + h)
+        scores.append((lang, s))
+    best_score = F.greatest(*[s for _, s in scores])
+    lang_pick = F.lit("und")
+    for lang, s in reversed(scores):  # earlier langs win ties -> build reversed
+        lang_pick = F.when(s == best_score, F.lit(lang)).otherwise(lang_pick)
+    out = F.when(best_score > 0, lang_pick).otherwise(F.lit("und"))
+    return df.withColumn("lang_pred", out)
+
+
+def langid_markers_sql(text_expr: str) -> str:
+    padded = f"concat(' ', lower(trim({text_expr})), ' ')"
+    score_exprs = {
+        lang: " + ".join(
+            occurrences_sql(padded, f" {w} ") for w in LANG_MARKERS[lang]
+        )
+        for lang in sorted(LANG_MARKERS)
+    }
+    best = "greatest(" + ", ".join(f"({s})" for s in score_exprs.values()) + ")"
+    pick = "'und'"
+    for lang in sorted(LANG_MARKERS, reverse=True):
+        pick = f"CASE WHEN ({score_exprs[lang]}) = sgs_best THEN '{lang}' ELSE {pick} END"
+    return (
+        f"CASE WHEN sgs_best > 0 THEN {pick} ELSE 'und' END",
+        best,
+    )
+
+
+# trigram-profile scorer (production path for real text): vectorized pandas
+_PROFILES = {
+    "en": (" th", "the", "he ", " an", "and", "nd ", " of", "ing", "ng "),
+    "de": ("der", "ein", "ich", "sch", "ung", " de", "en ", "ch "),
+    "fr": (" le", "les", " de", "des", "ent", "que", "ion", " la"),
+    "es": (" de", "os ", " la", "que", " el", "ión", "ar ", "el "),
+}
+
+
+def langid_trigrams(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Trigram-profile language ID as a mapInPandas stage (Arrow-batched)."""
+    from pyspark.sql.types import StructField, StructType
+
+    schema = StructType(list(df.schema.fields) + [StructField("lang_pred", StringType())])
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            preds = []
+            for t in pdf[text_col].fillna(""):
+                tl = f" {t.lower()} "
+                best, best_s = "und", 0
+                for lang, grams in _PROFILES.items():
+                    s = sum(tl.count(g) for g in grams)
+                    if s > best_s:
+                        best, best_s = lang, s
+                preds.append(best)
+            pdf = pdf.copy()
+            pdf["lang_pred"] = preds
+            yield pdf
+
+    return df.mapInPandas(score, schema=schema)
+
+
+# -------------------------------------------------------------- fingerprints
+def doc_fingerprint(text: Column) -> Column:
+    """Deterministic 60-bit content fingerprint of the normalized text —
+    exact-dedup key, identical in SQL via the portable hash."""
+    return portable_hash64(F.lower(F.trim(text)))
+
+
+def doc_fingerprint_sql(text_expr: str) -> str:
+    inner = f"concat('', cast(lower(trim({text_expr})) as string))"
+    return f"cast(concat('0x', substr(md5({inner}), 1, 15)) as bigint)"

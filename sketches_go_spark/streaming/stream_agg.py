@@ -1,0 +1,145 @@
+"""Structured Streaming sketch aggregation (axis B).
+
+Two designs, matching the two batch paths:
+
+1. **Relational streaming bins**: the bins build is an ordinary streaming
+   aggregation — ``withWatermark`` + ``groupBy(window, keys, sign, bucket)
+   .sum(weight)``.  Spark's state store maintains the bin counts
+   incrementally; DDSketch's mergeability is exactly why this works (bins
+   are a sum-monoid).  Quantile extraction happens per micro-batch in
+   ``foreachBatch`` (chained aggregations aren't allowed inside one
+   streaming query), writing final quantiles to any sink.
+
+2. **Stateful sketch values**: ``applyInPandasWithState`` keeps one encoded
+   DDSketch blob per group in the state store, decode-merge-encodes it on
+   every micro-batch, and emits the group's current quantiles — the custom
+   stateful operator form for when the sketch itself (not bins) must be the
+   state (e.g. bounded-memory collapsing under unbounded key ranges).
+"""
+
+from __future__ import annotations
+
+from typing import Iterable, Sequence, Tuple
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    BinaryType,
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from sketches_go_spark.core.ddsketch import DDSketch, DDSketchConfig
+from sketches_go_spark.core.encoding import decode_sketch, encode_sketch
+from sketches_go_spark.functions.ddsketch_fns import quantiles_from_bins
+from sketches_go_spark.functions.expressions import sign_bucket
+
+
+def streaming_bins(
+    stream: DataFrame,
+    value_col: str,
+    keys: Sequence[str],
+    config: DDSketchConfig | None = None,
+    time_col: str | None = None,
+    window: str | None = None,
+    watermark: str | None = None,
+) -> DataFrame:
+    """Streaming bins aggregation: returns a streaming DataFrame of
+    (window?, keys..., sign, bucket, count).  Attach watermark + event-time
+    window for late-data-bounded state."""
+    config = config or DDSketchConfig()
+    sign, bucket = sign_bucket(F.col(value_col), config.mapping())
+    src = stream
+    group_cols: list = list(keys)
+    if time_col and watermark:
+        src = src.withWatermark(time_col, watermark)
+    if time_col and window:
+        group_cols = [F.window(F.col(time_col), window).alias("window"), *keys]
+    binned = src.select(
+        *( [F.col(time_col)] if time_col else [] ),
+        *keys,
+        sign.alias("sign"),
+        bucket.alias("bucket"),
+    ).where(F.col("sign").isNotNull())
+    return binned.groupBy(*group_cols, "sign", "bucket").agg(
+        F.count(F.lit(1)).cast("double").alias("count")
+    )
+
+
+def foreach_batch_quantiles(
+    keys: Sequence[str],
+    quantiles: Iterable[float],
+    config: DDSketchConfig,
+    sink: list,
+):
+    """foreachBatch hook: finish the quantile extraction on each micro-batch
+    of bins and append rows to ``sink`` (a list for tests; production passes
+    a writer)."""
+
+    def _inner(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        out = quantiles_from_bins(batch_df, keys, quantiles, config)
+        sink.extend([(batch_id, *r) for r in out.collect()])
+
+    return _inner
+
+
+# ---------------------------------------------------------------- stateful
+def stateful_sketch_stream(
+    stream: DataFrame,
+    value_col: str,
+    keys: Sequence[str],
+    config: DDSketchConfig | None = None,
+    quantiles: Sequence[float] = (0.5, 0.95, 0.99),
+):
+    """applyInPandasWithState: one encoded DDSketch per group as state,
+    emitting (keys..., n, p<q>...) after every micro-batch update.
+
+    State = the sketch blob (compact: the reference binary format), so state
+    store size is O(bins) per group regardless of stream length — the whole
+    point of sketching the stream."""
+    config = config or DDSketchConfig()
+    qs = [float(q) for q in quantiles]
+
+    key_fields = [stream.schema[k] for k in keys]
+    out_fields = list(key_fields) + [StructField("n", DoubleType())]
+    for q in qs:
+        pct = q * 100
+        name = f"p{int(pct)}" if float(pct).is_integer() else f"p{pct}".replace(".", "_")
+        out_fields.append(StructField(name, DoubleType()))
+    out_schema = StructType(out_fields)
+    state_schema = StructType([StructField("blob", BinaryType())])
+
+    def update(
+        key: Tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+    ):
+        if state.exists:
+            (blob,) = state.get
+            sk = decode_sketch(bytes(blob), config=config)
+        else:
+            sk = DDSketch(config=config)
+        for pdf in pdfs:
+            sk.add(
+                pdf[value_col].to_numpy(dtype="float64", na_value=float("nan")),
+                on_untrackable="ignore",
+            )
+        state.update((encode_sketch(sk),))
+        row = list(key) + [sk.count] + [
+            float(x) for x in sk.quantiles(qs)
+        ]
+        yield pd.DataFrame([row], columns=[f.name for f in out_fields])
+
+    return stream.groupBy(*keys).applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -1,0 +1,140 @@
+"""Salted topology equivalence, checkpoint/resume with injected failure,
+and Structured Streaming sketch aggregation (file source, availableNow)."""
+
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from sketches_go_spark.core.ddsketch import DDSketch, DDSketchConfig
+from sketches_go_spark.core.encoding import decode_sketch
+from sketches_go_spark.functions import ddsketch_fns as dd
+from sketches_go_spark.plans.checkpoint import CheckpointedSketchJob
+from sketches_go_spark.plans.twophase import salted_ddsketch_agg
+from sketches_go_spark.streaming.stream_agg import (
+    foreach_batch_quantiles,
+    stateful_sketch_stream,
+    streaming_bins,
+)
+
+CFG = DDSketchConfig(alpha=0.01)
+RNG = np.random.default_rng(31)
+
+
+@pytest.fixture(scope="module")
+def skewed(spark):
+    n = 30000
+    # one hot key owning 80% of rows — the salting scenario
+    pdf = pd.DataFrame(
+        {
+            "g": np.where(RNG.uniform(size=n) < 0.8, "hot", RNG.choice(["a", "b", "c"], n)),
+            "v": RNG.lognormal(2, 1, n),
+        }
+    )
+    return spark.createDataFrame(pdf).repartition(16), pdf
+
+
+def test_salted_equals_unsalted(spark, skewed):
+    sdf, pdf = skewed
+    plain = dd.ddsketch_agg(sdf, "v", ["g"], CFG).collect()
+    salted = salted_ddsketch_agg(sdf, "v", ["g"], CFG, num_salts=8).collect()
+    plain_m = {r["g"]: decode_sketch(bytes(r["sketch"])) for r in plain}
+    salt_m = {r["g"]: decode_sketch(bytes(r["sketch"])) for r in salted}
+    assert plain_m.keys() == salt_m.keys()
+    for g in plain_m:
+        a, b = plain_m[g], salt_m[g]
+        assert np.array_equal(a.pos_idx, b.pos_idx)
+        assert np.allclose(a.pos_cnt, b.pos_cnt)
+        assert a.count == pytest.approx(b.count)
+        # and both match a local sketch of the same rows
+        core = DDSketch.from_values(pdf[pdf["g"] == g]["v"].to_numpy(), config=CFG)
+        assert np.array_equal(a.pos_idx, core.pos_idx)
+
+
+def test_checkpoint_resume_after_failure(spark, skewed, tmp_path):
+    sdf, pdf = skewed
+    job_dir = str(tmp_path / "ckpt")
+    job = CheckpointedSketchJob(job_dir, keys=["g"], n_slices=8, slices_per_batch=2)
+    with pytest.raises(RuntimeError, match="injected failure"):
+        job.run(sdf, "v", fail_after_slices=3)
+    assert len(job.completed_slices()) == 3
+    with pytest.raises(RuntimeError, match="incomplete"):
+        job.result(spark)
+    # resume: a fresh job object over the same dir skips completed slices
+    job2 = CheckpointedSketchJob(job_dir, keys=["g"], n_slices=8, slices_per_batch=2)
+    job2.run(sdf, "v")
+    assert len(job2.completed_slices()) == 8
+    merged = {
+        r["g"]: decode_sketch(bytes(r["sketch"])) for r in job2.result(spark).collect()
+    }
+    for g, sub in pdf.groupby("g"):
+        core = DDSketch.from_values(sub["v"].to_numpy(), config=CFG)
+        assert merged[g].count == pytest.approx(core.count)
+        assert np.array_equal(merged[g].pos_idx, core.pos_idx)
+    m = job2.metrics()
+    assert set(m["slice_id"]) == set(range(8))
+    assert (m["n_groups"] > 0).any() and (m["bytes_written"] > 0).all()
+
+
+@pytest.fixture(scope="module")
+def stream_dir(spark, tmp_path_factory):
+    d = tmp_path_factory.mktemp("stream_src")
+    n = 5000
+    pdf = pd.DataFrame(
+        {
+            "g": RNG.choice(["x", "y"], n),
+            "v": RNG.exponential(10, n),
+            "ts": pd.Timestamp("2024-01-01") + pd.to_timedelta(np.arange(n), "s"),
+        }
+    )
+    spark.createDataFrame(pdf).repartition(4).write.mode("overwrite").parquet(
+        str(d / "data")
+    )
+    return d, pdf
+
+
+def test_streaming_bins_matches_batch(spark, stream_dir):
+    d, pdf = stream_dir
+    schema = spark.read.parquet(str(d / "data")).schema
+    stream = spark.readStream.schema(schema).parquet(str(d / "data"))
+    bins = streaming_bins(stream, "v", ["g"], CFG)
+    sink: list = []
+    q = (
+        bins.writeStream.outputMode("complete")
+        .foreachBatch(foreach_batch_quantiles(["g"], [0.5, 0.99], CFG, sink))
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(d / "ckpt1"))
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {(r[1], r[2]): r[3] for r in sink}  # (g, q) -> est
+    for g, sub in pdf.groupby("g"):
+        core = DDSketch.from_values(sub["v"].to_numpy(), config=CFG)
+        for qq in (0.5, 0.99):
+            assert got[(g, qq)] == pytest.approx(core.quantile(qq), abs=1e-6)
+
+
+def test_stateful_sketch_stream(spark, stream_dir):
+    d, pdf = stream_dir
+    schema = spark.read.parquet(str(d / "data")).schema
+    stream = spark.readStream.schema(schema).parquet(str(d / "data"))
+    out = stateful_sketch_stream(stream, "v", ["g"], CFG, quantiles=(0.5, 0.95))
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sgs_stateful")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(d / "ckpt2"))
+        .start()
+    )
+    q.awaitTermination(120)
+    res = spark.table("sgs_stateful").toPandas()
+    # last emitted row per group = final state
+    final = res.groupby("g").tail(1).set_index("g")
+    for g, sub in pdf.groupby("g"):
+        core = DDSketch.from_values(sub["v"].to_numpy(), config=CFG)
+        assert final.loc[g, "n"] == pytest.approx(core.count)
+        assert final.loc[g, "p50"] == pytest.approx(core.quantile(0.5), rel=1e-9)
+        assert final.loc[g, "p95"] == pytest.approx(core.quantile(0.95), rel=1e-9)
