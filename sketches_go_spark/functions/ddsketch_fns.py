@@ -278,36 +278,99 @@ def ddsketch_partial(
     Output: (keys..., sketch: binary).
     """
     config = config or DDSketchConfig()
+    mapping = config.mapping()
     key_fields = [df.schema[k] for k in keys]
     out_schema = StructType(list(key_fields) + [StructField("sketch", BinaryType())])
     cols = list(keys) + [value_col] + ([weight_col] if weight_col else [])
+    kcols = list(keys)
 
     def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        acc: dict = {}
+        # fully vectorized: per Arrow batch, compute (sign, bucket) arrays
+        # once, reduce to per-(group, sign, bucket) bins with a C-path pandas
+        # groupby, and only materialize python DDSketch objects ONCE per
+        # group at partition end — no per-group work inside the batch loop,
+        # so high-cardinality keys (conv_id) cost the same per row as one key
+        bin_parts: list[pd.DataFrame] = []
+        stat_parts: list[pd.DataFrame] = []
         for pdf in batches:
             if pdf.empty:
                 continue
-            values = pdf[value_col].to_numpy(dtype=np.float64, na_value=np.nan)
-            weights = (
+            v = pdf[value_col].to_numpy(dtype=np.float64, na_value=np.nan)
+            w = (
                 pdf[weight_col].to_numpy(dtype=np.float64, na_value=0.0)
                 if weight_col
-                else None
+                else np.ones(v.size)
             )
-            gb = pdf.groupby(list(keys), dropna=False, sort=False).indices
-            for gkey, idx in gb.items():
-                sk = acc.get(gkey)
-                if sk is None:
-                    sk = acc[gkey] = DDSketch(config=config)
-                sk.add(
-                    values[idx],
-                    None if weights is None else weights[idx],
-                    on_untrackable="ignore",
-                )
-        if not acc:
+            keep = ~(np.isnan(v) | (v > mapping.max_indexable) | (v < -mapping.max_indexable))
+            keep &= w > 0
+            if not keep.all():
+                v, w = v[keep], w[keep]
+                pdf = pdf.loc[keep]
+            if v.size == 0:
+                continue
+            pos = v > mapping.min_indexable
+            neg = v < -mapping.min_indexable
+            sign = np.where(pos, 1, np.where(neg, -1, 0)).astype(np.int8)
+            bucket = np.zeros(v.size, dtype=np.int64)
+            if pos.any():
+                bucket[pos] = mapping.index(v[pos])
+            if neg.any():
+                bucket[neg] = mapping.index(-v[neg])
+            frame = pd.DataFrame({k: pdf[k].to_numpy() for k in kcols})
+            frame["sign"] = sign
+            frame["bucket"] = bucket
+            frame["w"] = w
+            bin_parts.append(
+                frame.groupby([*kcols, "sign", "bucket"], sort=False, dropna=False)["w"]
+                .sum()
+                .reset_index()
+            )
+            sframe = pd.DataFrame({k: pdf[k].to_numpy() for k in kcols})
+            sframe["w"] = w
+            sframe["vw"] = v * w
+            sframe["v"] = v
+            stat_parts.append(
+                sframe.groupby(kcols, sort=False, dropna=False)
+                .agg(cnt=("w", "sum"), s=("vw", "sum"), mn=("v", "min"), mx=("v", "max"))
+                .reset_index()
+            )
+        if not bin_parts:
             return
+        bins = (
+            pd.concat(bin_parts, ignore_index=True)
+            .groupby([*kcols, "sign", "bucket"], sort=True, dropna=False)["w"]
+            .sum()
+            .reset_index()
+        )
+        stats = (
+            pd.concat(stat_parts, ignore_index=True)
+            .groupby(kcols, sort=False, dropna=False)
+            .agg(cnt=("cnt", "sum"), s=("s", "sum"), mn=("mn", "min"), mx=("mx", "max"))
+        )
+        # dict lookups instead of per-group .loc (O(1), matters at 10^5 groups)
+        stats_d = {
+            idx: (r.cnt, r.s, r.mn, r.mx)
+            for idx, r in zip(stats.index, stats.itertuples(index=False))
+        }
         rows = []
-        for gkey, sk in acc.items():
+        for gkey, sub in bins.groupby(kcols, sort=False, dropna=False):
             gtuple = gkey if isinstance(gkey, tuple) else (gkey,)
+            sk = DDSketch(config=config)
+            sgn = sub["sign"].to_numpy()
+            bkt = sub["bucket"].to_numpy(dtype=np.int64)
+            cnt = sub["w"].to_numpy(dtype=np.float64)
+            p = sgn == 1
+            n = sgn == -1
+            # bins arrive sorted by (sign, bucket) asc -> both stores ascending
+            sk.pos_idx, sk.pos_cnt = bkt[p], cnt[p]
+            sk.neg_idx, sk.neg_cnt = bkt[n], cnt[n]
+            sk.zero_count = float(cnt[sgn == 0].sum())
+            sk._apply_collapse()
+            st = stats_d[gkey if len(kcols) > 1 else gtuple[0]]
+            sk.exact_count = float(st[0])
+            sk.exact_sum = float(st[1])
+            sk.exact_min = float(st[2])
+            sk.exact_max = float(st[3])
             rows.append((*gtuple, encode_sketch(sk)))
         yield pd.DataFrame(rows, columns=list(keys) + ["sketch"])
 
@@ -318,21 +381,45 @@ def ddsketch_merge(
     partials: DataFrame, keys: Sequence[str], config: DDSketchConfig | None = None
 ) -> DataFrame:
     """Phase 2: shuffle the (tiny) partials by group key and merge
-    (MergeWith semantics, ddsketch.go:302-310).  Per group the merge input is
-    at most one blob per upstream partition."""
+    (MergeWith semantics, ddsketch.go:302-310).
+
+    Implemented as repartition-by-key + sortWithinPartitions + a streaming
+    mapInPandas pass — NOT applyInPandas, whose per-group invocation costs
+    ~1 ms and dominates at high key cardinality (500k conv_ids would pay
+    ~8 min of pure invocation overhead; the streaming merge pays one python
+    decode per partial row instead)."""
     config = config or DDSketchConfig()
     key_fields = [partials.schema[k] for k in keys]
     out_schema = StructType(list(key_fields) + [StructField("sketch", BinaryType())])
+    kcols = list(keys)
 
-    def merge(pdf: pd.DataFrame) -> pd.DataFrame:
-        acc = DDSketch(config=config)
-        for blob in pdf["sketch"]:
-            acc.merge(decode_sketch(bytes(blob), config=config))
-        head = pdf.iloc[[0]][list(keys)].copy()
-        head["sketch"] = [encode_sketch(acc)]
-        return head
+    def merge_stream(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cur_key: tuple | None = None
+        cur: DDSketch | None = None
+        out_rows: list[tuple] = []
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            key_arrays = [pdf[k].to_numpy() for k in kcols]
+            for i, blob in enumerate(pdf["sketch"]):
+                k = tuple(a[i] for a in key_arrays)
+                if k != cur_key:
+                    if cur is not None:
+                        out_rows.append((*cur_key, encode_sketch(cur)))
+                    cur_key = k
+                    cur = decode_sketch(bytes(blob), config=config)
+                else:
+                    cur.merge(decode_sketch(bytes(blob), config=config))
+            if len(out_rows) >= 10000:
+                yield pd.DataFrame(out_rows, columns=kcols + ["sketch"])
+                out_rows = []
+        if cur is not None:
+            out_rows.append((*cur_key, encode_sketch(cur)))
+        if out_rows:
+            yield pd.DataFrame(out_rows, columns=kcols + ["sketch"])
 
-    return partials.groupBy(*keys).applyInPandas(merge, schema=out_schema)
+    shuffled = partials.repartition(*kcols).sortWithinPartitions(*kcols)
+    return shuffled.mapInPandas(merge_stream, schema=out_schema)
 
 
 def ddsketch_agg(
@@ -341,10 +428,26 @@ def ddsketch_agg(
     keys: Sequence[str],
     config: DDSketchConfig | None = None,
     weight_col: str | None = None,
+    strategy: str = "combine",
 ) -> DataFrame:
-    """Two-phase sketch aggregation: partial per partition → shuffle → merge.
-    Returns (keys..., sketch: binary)."""
+    """Sketch aggregation: (keys..., sketch: binary).
+
+    strategy='combine' (default): two-phase partial-per-partition → shuffle
+    tiny encoded partials → merge.  Optimal when groups repeat within input
+    partitions (low/medium key cardinality) — the map-side combine shrinks
+    the shuffle to ~groups x partitions blobs.
+
+    strategy='repartition': shuffle the raw (keys, value) rows once so each
+    group lands wholly in one partition, then build final sketches in a
+    single vectorized pass — no merge stage, no per-partial decode.  Optimal
+    at high key cardinality (e.g. per-conv_id sketches, where map-side
+    combine finds nothing to combine and 'combine' would decode millions of
+    single-group partials)."""
     config = config or DDSketchConfig()
+    if strategy == "repartition":
+        cols = [value_col] + ([weight_col] if weight_col else [])
+        shuffled = df.select(*keys, *cols).repartition(*keys)
+        return ddsketch_partial(shuffled, value_col, keys, config, weight_col)
     return ddsketch_merge(
         ddsketch_partial(df, value_col, keys, config, weight_col), keys, config
     )
