@@ -141,6 +141,53 @@ def q_ddsketch_collapsed_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("tool", "sign", "bucket")
 
 
+def _text_len_by_role_tool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = transcripts_from_events(spark, sf_dir)
+    return t.select(
+        "role",
+        F.coalesce(F.col("tool"), F.lit("none")).alias("tool"),
+        F.length("text").cast("double").alias("v"),
+    )
+
+
+_TEXT_LEN_ROLE_TOOL_SQL = (
+    "SELECT role, coalesce(tool, 'none') AS tool, cast(length(text) AS double) AS v "
+    f"FROM {_TRANSCRIPTS} t"
+)
+
+
+def q_ddsketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeability rollup: per-(role, tool) bins re-aggregated to per-role
+    WITHOUT re-reading the raw data — must equal bins built at role level."""
+    fine = dd.build_bins(_text_len_by_role_tool(spark, sf_dir), "v", ["role", "tool"], CFG)
+    coarse = dd.rollup_bins(fine, ["role", "tool"], ["role"])
+    return coarse.select(
+        "role", "sign", "bucket", F.col("count").alias("cnt")
+    ).orderBy("role", "sign", "bucket")
+
+
+def q_ddsketch_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reweight: every count scaled by 2.5 (distribution-invariant,
+    ddsketch.go:514-529)."""
+    bins = dd.build_bins(_text_len_by_role(spark, sf_dir), "v", ["role"], CFG)
+    return dd.reweight_bins(bins, 2.5).select(
+        "role", "sign", "bucket", F.col("count").alias("cnt")
+    ).orderBy("role", "sign", "bucket")
+
+
+_CHANGE_MAP_NEW = DDSketchConfig(alpha=0.025)
+
+
+def q_ddsketch_change_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ChangeMapping: alpha 0.01 bins re-bucketed onto an alpha 0.025 mapping
+    by proportional interval overlap (ddsketch.go:483-510)."""
+    bins = dd.build_bins(_latency_by_tool(spark, sf_dir), "v", ["tool"], CFG)
+    out = dd.change_mapping_bins(bins, ["tool"], CFG, _CHANGE_MAP_NEW)
+    return out.select(
+        "tool", "sign", "bucket", F.col("count").alias("cnt")
+    ).orderBy("tool", "sign", "bucket")
+
+
 # ----------------------------------------------------- companion sketches
 _TOOL_ITEMS_SQL = (
     f"SELECT tool AS item FROM {_TRANSCRIPTS} t WHERE tool IS NOT NULL"
@@ -233,6 +280,47 @@ def q_tdigest_latency_by_role(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).TDigest.from_bytes, [0.5, 0.95, 0.99],
     )
     return out.select("role", "p50", "p95", "p99").orderBy("role")
+
+
+# --------------------------------------------- engine composability (§2.9)
+def q_rel_agg_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic pricing-summary aggregation (Spark built-ins ARE the engine
+    layer the reference lacks; sketches compose with all of it)."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").alias("sum_qty"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias(
+                "sum_disc_price"
+            ),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def q_sketch_after_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch quantiles over a broadcast-join enrichment: events joined to
+    customer (small dim, broadcast) -> DDSketch p50/p95 of value per nation."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        F.col("c_custkey"), F.col("c_nationkey")
+    )
+    joined = ev.join(
+        F.broadcast(cust), ev["user_id"] == cust["c_custkey"], "inner"
+    ).select(F.col("c_nationkey"), F.col("value").cast("double").alias("v"))
+    return dd.ddsketch_quantiles_relational(
+        joined, "v", ["c_nationkey"], (0.5, 0.95), CFG
+    ).orderBy("c_nationkey", "q")
+
+
+_JOIN_MEASURE_SQL = """
+SELECT c.c_nationkey, cast(e.value AS double) AS v
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+"""
 
 
 # ------------------------------------------- training-data pipeline operators
@@ -341,6 +429,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_probe_tools": q_bloom_probe_tools,
         "kll_latency_by_role": q_kll_latency_by_role,
         "tdigest_latency_by_role": q_tdigest_latency_by_role,
+        "rel_agg_lineitem": q_rel_agg_lineitem,
+        "sketch_after_join": q_sketch_after_join,
+        "ddsketch_rollup": q_ddsketch_rollup,
+        "ddsketch_reweight": q_ddsketch_reweight,
+        "ddsketch_change_mapping": q_ddsketch_change_mapping,
         "text_quality": q_text_quality,
         "text_langid": q_text_langid,
         "dedup_exact": q_dedup_exact,
@@ -414,6 +507,32 @@ def oracle_sql() -> dict[str, str]:
         # (order-sensitive state) -> rows-only driver check; accuracy bounds
         # are asserted in pytest instead (tests/test_companion_sketches.py,
         # tests/test_sketch_fns_spark.py)
+        "rel_agg_lineitem": """
+SELECT l_returnflag, l_linestatus,
+       sum(l_quantity) AS sum_qty,
+       round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+       round(avg(l_quantity), 6) AS avg_qty,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= timestamp '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus""",
+        "sketch_after_join": oracles.ddsketch_quantiles_sql(
+            _JOIN_MEASURE_SQL, ["c_nationkey"], (0.5, 0.95), CFG,
+            order_by="c_nationkey, q",
+        ),
+        "ddsketch_rollup": oracles.ddsketch_rollup_sql(
+            _TEXT_LEN_ROLE_TOOL_SQL, ["role", "tool"], ["role"], CFG
+        )
+        + " ORDER BY role, sign, bucket",
+        "ddsketch_reweight": oracles.ddsketch_reweight_sql(
+            _TEXT_LEN_MEASURE_SQL, ["role"], 2.5, CFG
+        )
+        + " ORDER BY role, sign, bucket",
+        "ddsketch_change_mapping": oracles.ddsketch_change_mapping_sql(
+            _LATENCY_MEASURE_SQL, ["tool"], CFG, _CHANGE_MAP_NEW
+        )
+        + " ORDER BY tool, sign, bucket",
         "text_quality": opl.quality_features_oracle(),
         "text_langid": opl.langid_markers_oracle(),
         "dedup_exact": opl.exact_dedup_oracle(),

@@ -173,7 +173,12 @@ def quantiles_from_bins(
         .withColumn("max_neg_bucket", F.max(F.when(is_neg, F.col("bucket"))).over(grp_w))
     )
 
-    qdf = spark.createDataFrame([(q,) for q in qs], "q double")
+    # literal quantile relation built JVM-side: createDataFrame would route
+    # through a Python RDD and spawn a python worker per core just to emit
+    # 3 rows (measured ~seconds at local[32])
+    qdf = spark.range(1).select(
+        F.explode(F.array(*[F.lit(q) for q in qs])).alias("q")
+    )
     joined = bins2.join(F.broadcast(qdf))
 
     rank = F.col("q") * (F.col("total") - 1)
@@ -535,3 +540,99 @@ def with_summary(
             c = F.round(c, estimate_decimals)
         tmp = tmp.withColumn(name, c)
     return tmp.drop("_s")
+
+
+# =====================================================================
+# reshape operators: rollup, reweight, change_mapping
+# =====================================================================
+def rollup_bins(
+    bins: DataFrame, keys: Sequence[str], subset: Sequence[str]
+) -> DataFrame:
+    """Coarser-granularity bins from finer bins — the mergeability payoff:
+    a per-(role, tool) bins relation re-aggregates to per-role or global
+    WITHOUT touching the raw data (sum over the dropped keys).
+    ``subset`` must be a subset of ``keys``; dropped keys disappear."""
+    missing = [k for k in subset if k not in keys]
+    if missing:
+        raise ValueError(f"subset keys not in bins: {missing}")
+    return bins.groupBy(*subset, "sign", "bucket").agg(
+        F.sum("count").alias("count")
+    )
+
+
+def reweight_bins(bins: DataFrame, w: float) -> DataFrame:
+    """Scale every count by w > 0 — distribution-invariant
+    (ddsketch.go:514-529)."""
+    if w <= 0:
+        raise ValueError("can't reweight by a negative or zero factor")
+    return bins.withColumn("count", F.col("count") * F.lit(float(w)))
+
+
+def change_mapping_bins(
+    bins: DataFrame,
+    keys: Sequence[str],
+    old_config: DDSketchConfig,
+    new_config: DDSketchConfig,
+    scale_factor: float = 1.0,
+    count_decimals: int | None = 6,
+) -> DataFrame:
+    """Re-bucket a bins relation onto a new mapping, splitting each old
+    bucket's value interval proportionally (by overlap) across the new
+    buckets (ChangeMapping, ddsketch.go:483-510) — enables merging sketches
+    built with different alphas.
+
+    Pure Catalyst: sequence() generates each old bucket's target range,
+    explode fans out, overlap fractions weight the counts, and a final
+    groupBy re-aggregates.  The zero bucket (sign=0) passes through (scaled
+    interval still contains 0)."""
+    mo = old_config.mapping()
+    mn = new_config.mapping()
+    s = float(scale_factor)
+    lo = F.exp(
+        (F.col("bucket").cast("double") - F.lit(mo.index_offset)) / F.lit(mo.multiplier)
+    ) * F.lit(s)
+    hi = F.exp(
+        ((F.col("bucket") + 1).cast("double") - F.lit(mo.index_offset))
+        / F.lit(mo.multiplier)
+    ) * F.lit(s)
+    jlo = F.floor(F.log(lo) * F.lit(mn.multiplier) + F.lit(mn.index_offset)).cast("int")
+    jhi = F.floor(F.log(hi) * F.lit(mn.multiplier) + F.lit(mn.index_offset)).cast("int")
+
+    nonzero = bins.where(F.col("sign") != 0).select(
+        *keys,
+        "sign",
+        "count",
+        lo.alias("_lo"),
+        hi.alias("_hi"),
+        F.explode(F.sequence(jlo, jhi)).alias("new_bucket"),
+    )
+    nb_lo = F.exp(
+        (F.col("new_bucket").cast("double") - F.lit(mn.index_offset))
+        / F.lit(mn.multiplier)
+    )
+    nb_hi = F.exp(
+        ((F.col("new_bucket") + 1).cast("double") - F.lit(mn.index_offset))
+        / F.lit(mn.multiplier)
+    )
+    overlap = F.least(nb_hi, F.col("_hi")) - F.greatest(nb_lo, F.col("_lo"))
+    split = (
+        nonzero.withColumn("_ov", overlap)
+        .where(F.col("_ov") > 0)
+        .select(
+            *keys,
+            "sign",
+            F.col("new_bucket").alias("bucket"),
+            (F.col("count") * F.col("_ov") / (F.col("_hi") - F.col("_lo"))).alias(
+                "count"
+            ),
+        )
+    )
+    zero = bins.where(F.col("sign") == 0).select(*keys, "sign", "bucket", "count")
+    out = (
+        split.unionByName(zero)
+        .groupBy(*keys, "sign", "bucket")
+        .agg(F.sum("count").alias("count"))
+    )
+    if count_decimals is not None:
+        out = out.withColumn("count", F.round(F.col("count"), count_decimals))
+    return out

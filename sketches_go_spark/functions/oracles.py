@@ -307,3 +307,73 @@ sgs_ppos AS ({_union_hash_rows('sgs_probes', 'item', k, 'bloom', m_bits,
 SELECT p.item, count(b.pos) = {k} AS might_contain
 FROM sgs_ppos p LEFT JOIN sgs_bits b ON p.col = b.pos
 GROUP BY p.item"""
+
+
+def ddsketch_rollup_sql(
+    measure_sql: str,
+    fine_keys: Sequence[str],
+    coarse_keys: Sequence[str],
+    config: DDSketchConfig | None = None,
+) -> str:
+    """Oracle for rollup_bins: coarse bins == bins built directly at the
+    coarse granularity (mergeability makes them identical)."""
+    bins_cte = ddsketch_bins_sql(measure_sql, fine_keys, config)
+    ck = _keys_csv(coarse_keys)
+    return f"""WITH {bins_cte}
+SELECT {ck}, sign, bucket, cast(sum(count) AS double) AS cnt
+FROM sgs_bins GROUP BY {ck}, sign, bucket"""
+
+
+def ddsketch_reweight_sql(
+    measure_sql: str,
+    keys: Sequence[str],
+    w: float,
+    config: DDSketchConfig | None = None,
+) -> str:
+    bins_cte = ddsketch_bins_sql(measure_sql, keys, config)
+    k = _keys_csv(keys)
+    return f"""WITH {bins_cte}
+SELECT {k}, sign, bucket, count * {_lit(w)} AS cnt FROM sgs_bins"""
+
+
+def ddsketch_change_mapping_sql(
+    measure_sql: str,
+    keys: Sequence[str],
+    old_config: DDSketchConfig,
+    new_config: DDSketchConfig,
+    scale_factor: float = 1.0,
+    count_decimals: int = 6,
+) -> str:
+    """Oracle for change_mapping_bins: proportional-overlap re-bucketing
+    (ChangeMapping, ddsketch.go:483-510) replayed in SQL."""
+    mo = old_config.mapping()
+    mn = new_config.mapping()
+    k = _keys_csv(keys)
+    s = _lit(scale_factor)
+    moff, mmult = _lit(mo.index_offset), _lit(mo.multiplier)
+    noff, nmult = _lit(mn.index_offset), _lit(mn.multiplier)
+    bins_cte = ddsketch_bins_sql(measure_sql, keys, old_config)
+    nb_lo = f"exp((bucket - {noff}) / {nmult})"
+    nb_hi = f"exp((bucket + 1 - {noff}) / {nmult})"
+    ov = f"(least({nb_hi}, hi) - greatest({nb_lo}, lo))"
+    return f"""WITH {bins_cte},
+sgs_nz AS (
+  SELECT {k}, sign, count,
+         exp((bucket - {moff}) / {mmult}) * {s} AS lo,
+         exp((bucket + 1 - {moff}) / {mmult}) * {s} AS hi
+  FROM sgs_bins WHERE sign != 0
+),
+sgs_fan AS (
+  SELECT {k}, sign, count, lo, hi,
+         unnest(range(cast(floor(ln(lo) * {nmult} + {noff}) AS int),
+                      cast(floor(ln(hi) * {nmult} + {noff}) AS int) + 1)) AS bucket
+  FROM sgs_nz
+),
+sgs_split AS (
+  SELECT {k}, sign, bucket, count * {ov} / (hi - lo) AS cnt
+  FROM sgs_fan WHERE {ov} > 0
+),
+sgs_zero AS (SELECT {k}, sign, bucket, count AS cnt FROM sgs_bins WHERE sign = 0)
+SELECT {k}, sign, bucket, round(sum(cnt), {count_decimals}) AS cnt
+FROM (SELECT * FROM sgs_split UNION ALL SELECT * FROM sgs_zero)
+GROUP BY {k}, sign, bucket"""
