@@ -282,6 +282,49 @@ def q_tdigest_latency_by_role(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("role", "p50", "p95", "p99").orderBy("role")
 
 
+_STREAM_COUNTER = [0]
+
+
+def q_streaming_ddsketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming (axis B): file-source stream over events,
+    watermark-free availableNow run; the streaming state IS the bins relation
+    (sum-monoid), finished into quantiles after termination.  Result equals
+    the batch query exactly — same oracle."""
+    from sketches_go_spark.streaming.stream_agg import streaming_bins
+
+    import hashlib
+    import os
+    import shutil
+
+    # the file stream source requires a directory; stage the single parquet
+    # file into a content-addressed temp dir once
+    src_file = f"{sf_dir}/events.parquet"
+    stage = "/tmp/sgs_stream_src_" + hashlib.md5(src_file.encode()).hexdigest()[:8]
+    if not os.path.exists(os.path.join(stage, "events.parquet")):
+        os.makedirs(stage, exist_ok=True)
+        shutil.copy(src_file, os.path.join(stage, "events.parquet"))
+
+    batch_schema = spark.read.parquet(src_file).schema
+    stream = spark.readStream.schema(batch_schema).parquet(stage)
+    src = stream.select(
+        "event_type", F.col("value").cast("double").alias("v")
+    )
+    bins = streaming_bins(src, "v", ["event_type"], CFG)
+    _STREAM_COUNTER[0] += 1
+    name = f"sgs_stream_bins_{_STREAM_COUNTER[0]}"
+    q = (
+        bins.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return dd.quantiles_from_bins(spark.table(name), ["event_type"], QS, CFG).orderBy(
+        "event_type", "q"
+    )
+
+
 # --------------------------------------------- engine composability (§2.9)
 def q_rel_agg_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Classic pricing-summary aggregation (Spark built-ins ARE the engine
@@ -429,6 +472,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_probe_tools": q_bloom_probe_tools,
         "kll_latency_by_role": q_kll_latency_by_role,
         "tdigest_latency_by_role": q_tdigest_latency_by_role,
+        "streaming_ddsketch_value_by_event_type": q_streaming_ddsketch,
         "rel_agg_lineitem": q_rel_agg_lineitem,
         "sketch_after_join": q_sketch_after_join,
         "ddsketch_rollup": q_ddsketch_rollup,
@@ -507,6 +551,10 @@ def oracle_sql() -> dict[str, str]:
         # (order-sensitive state) -> rows-only driver check; accuracy bounds
         # are asserted in pytest instead (tests/test_companion_sketches.py,
         # tests/test_sketch_fns_spark.py)
+        "streaming_ddsketch_value_by_event_type": oracles.ddsketch_quantiles_sql(
+            _EVENT_VALUE_MEASURE_SQL, ["event_type"], QS, CFG,
+            order_by="event_type, q",
+        ),
         "rel_agg_lineitem": """
 SELECT l_returnflag, l_linestatus,
        sum(l_quantity) AS sum_qty,

@@ -40,6 +40,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import (
     BinaryType,
     DoubleType,
+    IntegerType,
     StructField,
     StructType,
 )
@@ -636,3 +637,42 @@ def change_mapping_bins(
     if count_decimals is not None:
         out = out.withColumn("count", F.round(F.col("count"), count_decimals))
     return out
+
+
+def sketch_to_bins(
+    sketches: DataFrame, keys: Sequence[str], sketch_col: str = "sketch"
+) -> DataFrame:
+    """Explode encoded sketch values back into the relational bins shape
+    (keys..., sign, bucket, count) — the ForEach/Bins surface
+    (ddsketch.go:283-298) and the bridge from the UDAF path into every
+    bins-relational operator (quantiles_from_bins, rollup, change_mapping)."""
+    key_fields = [sketches.schema[k] for k in keys]
+    out_schema = StructType(
+        list(key_fields)
+        + [
+            StructField("sign", IntegerType()),
+            StructField("bucket", IntegerType()),
+            StructField("count", DoubleType()),
+        ]
+    )
+    kcols = list(keys)
+
+    def explode_bins(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: list[tuple] = []
+            for i in range(len(pdf)):
+                blob = pdf[sketch_col].iloc[i]
+                if blob is None:
+                    continue
+                kvals = tuple(pdf[k].iloc[i] for k in kcols)
+                s = decode_sketch(bytes(blob))
+                for idx, cnt in zip(s.pos_idx, s.pos_cnt):
+                    rows.append((*kvals, 1, int(idx), float(cnt)))
+                for idx, cnt in zip(s.neg_idx, s.neg_cnt):
+                    rows.append((*kvals, -1, int(idx), float(cnt)))
+                if s.zero_count:
+                    rows.append((*kvals, 0, 0, float(s.zero_count)))
+            if rows:
+                yield pd.DataFrame(rows, columns=kcols + ["sign", "bucket", "count"])
+
+    return sketches.mapInPandas(explode_bins, schema=out_schema)

@@ -129,3 +129,16 @@ def test_collapsed_relational_invariants(spark):
     # max bucket preserved = alpha-accurate max
     core = DDSketch.from_values(pdf["v"], config=cfg)
     assert pos["bucket"].max() == core.pos_idx[-1]
+
+
+def test_sketch_to_bins_bridge(spark, sdf, data):
+    """UDAF blobs -> bins relation -> relational quantiles == UDAF quantiles."""
+    sk = dd.ddsketch_agg(sdf, "v", ["g"], CFG)
+    bins = dd.sketch_to_bins(sk, ["g"])
+    rel_direct = dd.build_bins(sdf, "v", ["g"], CFG).orderBy("g", "sign", "bucket").toPandas()
+    rel_bridged = bins.orderBy("g", "sign", "bucket").toPandas()
+    pd.testing.assert_frame_equal(
+        rel_bridged.reset_index(drop=True),
+        rel_direct.reset_index(drop=True),
+        check_dtype=False,
+    )
