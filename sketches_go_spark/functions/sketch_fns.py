@@ -12,7 +12,6 @@ t-digest) — same two-path design as DDSketch:
 
 from __future__ import annotations
 
-import math
 from typing import Callable, Iterator, Sequence
 
 import numpy as np

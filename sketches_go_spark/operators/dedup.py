@@ -20,8 +20,6 @@ exactly (see functions.oracles / __spark_entry__)."""
 
 from __future__ import annotations
 
-from typing import Sequence
-
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 

@@ -16,7 +16,8 @@ version is what the cross-engine correctness gate replays.
 
 from __future__ import annotations
 
-from typing import Iterator, Sequence
+
+from typing import Iterator
 
 import pandas as pd
 

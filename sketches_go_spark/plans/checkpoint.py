@@ -28,7 +28,6 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from sketches_go_spark.core.ddsketch import DDSketch, DDSketchConfig
-from sketches_go_spark.core.encoding import decode_sketch
 from sketches_go_spark.functions.ddsketch_fns import (
     ddsketch_agg,
     ddsketch_merge,
