@@ -276,6 +276,7 @@ def ddsketch_partial(
     keys: Sequence[str],
     config: DDSketchConfig | None = None,
     weight_col: str | None = None,
+    metrics=None,
 ) -> DataFrame:
     """Phase 1: one partial sketch per (group x input-partition), built
     inside ``mapInPandas`` — the Arrow-side equivalent of map-side combine
@@ -380,11 +381,18 @@ def ddsketch_partial(
             rows.append((*gtuple, encode_sketch(sk)))
         yield pd.DataFrame(rows, columns=list(keys) + ["sketch"])
 
+    if metrics is not None:
+        from sketches_go_spark.plans.metrics import instrument_map_in_pandas
+
+        build = instrument_map_in_pandas(build, metrics)
     return df.select(*cols).mapInPandas(build, schema=out_schema)
 
 
 def ddsketch_merge(
-    partials: DataFrame, keys: Sequence[str], config: DDSketchConfig | None = None
+    partials: DataFrame,
+    keys: Sequence[str],
+    config: DDSketchConfig | None = None,
+    metrics=None,
 ) -> DataFrame:
     """Phase 2: shuffle the (tiny) partials by group key and merge
     (MergeWith semantics, ddsketch.go:302-310).
@@ -424,6 +432,10 @@ def ddsketch_merge(
         if out_rows:
             yield pd.DataFrame(out_rows, columns=kcols + ["sketch"])
 
+    if metrics is not None:
+        from sketches_go_spark.plans.metrics import instrument_map_in_pandas
+
+        merge_stream = instrument_map_in_pandas(merge_stream, metrics)
     shuffled = partials.repartition(*kcols).sortWithinPartitions(*kcols)
     return shuffled.mapInPandas(merge_stream, schema=out_schema)
 
@@ -435,6 +447,7 @@ def ddsketch_agg(
     config: DDSketchConfig | None = None,
     weight_col: str | None = None,
     strategy: str = "combine",
+    metrics=None,
 ) -> DataFrame:
     """Sketch aggregation: (keys..., sketch: binary).
 
@@ -453,9 +466,12 @@ def ddsketch_agg(
     if strategy == "repartition":
         cols = [value_col] + ([weight_col] if weight_col else [])
         shuffled = df.select(*keys, *cols).repartition(*keys)
-        return ddsketch_partial(shuffled, value_col, keys, config, weight_col)
+        return ddsketch_partial(shuffled, value_col, keys, config, weight_col, metrics)
     return ddsketch_merge(
-        ddsketch_partial(df, value_col, keys, config, weight_col), keys, config
+        ddsketch_partial(df, value_col, keys, config, weight_col, metrics),
+        keys,
+        config,
+        metrics,
     )
 
 

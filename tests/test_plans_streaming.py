@@ -138,3 +138,55 @@ def test_stateful_sketch_stream(spark, stream_dir):
         assert final.loc[g, "n"] == pytest.approx(core.count)
         assert final.loc[g, "p50"] == pytest.approx(core.quantile(0.5), rel=1e-9)
         assert final.loc[g, "p95"] == pytest.approx(core.quantile(0.95), rel=1e-9)
+
+
+def test_per_task_metrics(spark, skewed):
+    """North-rule per-task metrics: one record per task of the partial and
+    merge stages, with row counts and wall time."""
+    from sketches_go_spark.plans.metrics import TaskMetricsCollector
+
+    sdf, pdf = skewed
+    mc = TaskMetricsCollector(spark, name="test-job")
+    dd.ddsketch_agg(sdf, "v", ["g"], CFG, metrics=mc).count()
+    recs = mc.records()
+    assert len(recs) >= 2  # at least partial tasks + merge tasks
+    frame = mc.to_frame()
+    assert frame["rows_in"].sum() >= len(pdf)  # partials saw every row
+    assert (frame["wall_sec"] >= 0).all()
+    assert (frame["partition_id"] >= 0).all()
+    assert frame["stage_id"].nunique() >= 2  # two distinct stages reported
+
+
+def test_streaming_windowed_watermark(spark, stream_dir):
+    """Event-time tumbling windows + watermark over the bins aggregation:
+    per-window quantiles equal batch quantiles of the same window slices."""
+    d, pdf = stream_dir
+    schema = spark.read.parquet(str(d / "data")).schema
+    stream = spark.readStream.schema(schema).parquet(str(d / "data"))
+    bins = streaming_bins(
+        stream, "v", ["g"], CFG, time_col="ts", window="20 minutes",
+        watermark="5 minutes",
+    )
+    q = (
+        bins.writeStream.format("memory")
+        .queryName("sgs_windowed")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(d / "ckpt3"))
+        .start()
+    )
+    q.awaitTermination(120)
+    res = spark.table("sgs_windowed")
+    out = dd.quantiles_from_bins(
+        res.select(F.col("window.start").alias("w"), "g", "sign", "bucket", "count"),
+        ["w", "g"],
+        [0.5],
+        CFG,
+    ).toPandas().set_index(["w", "g"])["est"]
+    assert len(out) > 2  # multiple windows materialized
+    # batch oracle: same windows in pandas
+    pdf2 = pdf.copy()
+    pdf2["w"] = pdf2["ts"].dt.floor("20min")
+    for (w, g), sub in pdf2.groupby(["w", "g"]):
+        core = DDSketch.from_values(sub["v"].to_numpy(), config=CFG)
+        assert out[(w, g)] == pytest.approx(core.quantile(0.5), abs=1e-6)
