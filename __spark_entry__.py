@@ -25,6 +25,7 @@ from sketches_go_spark.functions import ddsketch_fns as dd
 from sketches_go_spark.functions import oracles
 from sketches_go_spark.functions import sketch_fns as sk
 from sketches_go_spark.operators import dedup
+from sketches_go_spark.operators import multimodal as mm
 from sketches_go_spark.operators import oracles_pipeline as opl
 from sketches_go_spark.operators import similarity as sim
 from sketches_go_spark.operators import text as ops_text
@@ -450,6 +451,48 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
+def _docs_as_media(spark: SparkSession, sf_dir: str, kind: str) -> DataFrame:
+    """Documents table viewed as an opaque-binary media table (payload =
+    utf-8 text bytes; metadata derived deterministically from doc_id) so the
+    multimodal plumbing runs against driver testdata with an exact oracle."""
+    d = _docs(spark, sf_dir)
+    return d.select(
+        F.concat(F.lit(f"{kind}-"), F.col("doc_id").cast("string")).alias("media_id"),
+        F.lit(kind).alias("kind"),
+        F.lit(f"{kind}/fake").alias("mime"),
+        (F.pmod("doc_id", F.lit(1920)) + 1).cast("int").alias("width"),
+        (F.pmod("doc_id", F.lit(1080)) + 1).cast("int").alias("height"),
+        ((F.pmod("doc_id", F.lit(60)) + 1) * 1000).cast("int").alias("duration_ms"),
+        F.encode("text", "utf-8").alias("payload"),
+    )
+
+
+def q_multimodal_frame_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling plumbing: frames per media at a 1 s grid
+    (mapInPandas cut over exploded sample grid; counts are SQL-checkable)."""
+    frames = mm.frame_sample(_docs_as_media(spark, sf_dir, "video"), every_ms=1000)
+    return (
+        frames.groupBy("media_id")
+        .agg(F.count(F.lit(1)).alias("n_frames"))
+        .orderBy("media_id")
+    )
+
+
+def q_multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image decode(stub)+feature extraction over binary payloads
+    (mapInPandas; deterministic fake decoder — rows-only driver check,
+    shapes/invariants asserted in pytest)."""
+    feats = mm.image_features(_docs_as_media(spark, sf_dir, "image"))
+    return feats.select(
+        "media_id",
+        "width",
+        "height",
+        F.round("mean", 6).alias("mean"),
+        F.round("std", 6).alias("std"),
+        F.size("feature").alias("feat_dim"),
+    ).orderBy("media_id")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: per-tool p50/p95/p99 inter-turn latency (DDSketch relational
     path over the transcripts derivation) at sf0.001."""
@@ -488,6 +531,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_topk_bruteforce": q_sim_topk_bruteforce,
         "sim_ann_lsh": q_sim_ann_lsh,
         "embedding_neardup": q_embedding_neardup,
+        "multimodal_frame_grid": q_multimodal_frame_grid,
+        "multimodal_image_features": q_multimodal_image_features,
     }
 
 
@@ -591,4 +636,14 @@ ORDER BY l_returnflag, l_linestatus""",
         "sim_topk_bruteforce": opl.brute_force_topk_oracle(),
         "sim_ann_lsh": opl.lsh_ann_topk_oracle(),
         "embedding_neardup": opl.embedding_neardup_oracle(threshold=0.3),
+        # frame grid size is pure arithmetic on the deterministic metadata:
+        # sequence(0, duration_ms-1, 1000) has (doc_id % 60) + 1 elements
+        "multimodal_frame_grid": (
+            "SELECT 'video-' || CAST(doc_id AS VARCHAR) AS media_id,"
+            " (doc_id % 60) + 1 AS n_frames"
+            " FROM documents ORDER BY media_id"
+        ),
+        # multimodal_image_features: stub decoder output (md5-derived fake
+        # pixels) is not SQL-expressible -> rows-only driver check; the
+        # feature invariants are asserted in tests/test_pipeline_ops.py
     }
