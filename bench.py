@@ -18,7 +18,9 @@ import time
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-SYNTH_TURNS = int(os.environ.get("SGS_BENCH_SYNTH_TURNS", "5000000"))
+# 10M amortizes the ~2s fixed job overhead that dominated at 5M — the
+# headline turns_per_sec then reflects pipeline capacity, not job setup
+SYNTH_TURNS = int(os.environ.get("SGS_BENCH_SYNTH_TURNS", "10000000"))
 
 
 def main() -> None:
