@@ -249,38 +249,91 @@ def q_bloom_probe_tools(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sk.bloom_probe(bits, probes, "item", m_bits=4096, k=5).orderBy("item")
 
 
-def q_kll_latency_by_role(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """KLL rank-sketch quantiles of inter-turn latency per role (UDAF path;
-    rank-space sketch — no SQL oracle, rows-only check + pytest bound)."""
+def _latency_by_role(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = transcripts_from_events(spark, sf_dir)
     w = Window.partitionBy("conv_id").orderBy("turn_idx")
     micros = F.unix_micros(F.col("ts").cast("timestamp"))
     lat = (micros - F.lag(micros).over(w)).cast("double") / F.lit(1000000.0)
-    src = t.select("role", lat.alias("v")).where(F.col("v").isNotNull())
-    sketches = sk.kll_agg(src, "v", ["role"], k=200)
-    out = sk.with_sketch_quantiles(
-        sketches, __import__(
-            "sketches_go_spark.core.kll", fromlist=["KLLSketch"]
-        ).KLLSketch.from_bytes, [0.5, 0.95, 0.99],
+    return t.select("role", lat.alias("v")).where(F.col("v").isNotNull())
+
+
+_LATENCY_ROLE_MEASURE_SQL = f"""
+SELECT role, v FROM (
+  SELECT role,
+         cast(epoch_us(ts) - lag(epoch_us(ts))
+              OVER (PARTITION BY conv_id ORDER BY turn_idx) AS double) / 1000000.0 AS v
+  FROM {_TRANSCRIPTS} t
+) WHERE v IS NOT NULL
+"""
+
+
+def _rank_bound_check(src: DataFrame, est_long: DataFrame, eps: float) -> DataFrame:
+    """(role, q, within_bound:int) — 1 iff the sketch estimate's exact rank
+    interval [P(v < est), P(v <= est)] intersects [q - eps, q + eps].
+
+    This turns a rank-space sketch (whose state is genuinely non-SQL-
+    expressible) into a hash-matchable driver check: Spark computes the
+    estimate AND verifies its exact rank against the raw data; the oracle
+    asserts the published error bound holds (constant 1 per (role, q))."""
+    j = src.join(F.broadcast(est_long), "role")
+    agg = j.groupBy("role", "q").agg(
+        F.sum(F.when(F.col("v") < F.col("est"), 1).otherwise(0)).alias("cnt_lt"),
+        F.sum(F.when(F.col("v") <= F.col("est"), 1).otherwise(0)).alias("cnt_le"),
+        F.count(F.lit(1)).alias("n"),
     )
-    return out.select("role", "p50", "p95", "p99").orderBy("role")
+    within = (
+        F.col("cnt_lt") <= (F.col("q") + F.lit(eps)) * F.col("n")
+    ) & (F.col("cnt_le") >= (F.col("q") - F.lit(eps)) * F.col("n"))
+    return agg.select(
+        "role", "q", within.cast("int").alias("within_bound")
+    ).orderBy("role", "q")
+
+
+def _rank_bound_oracle_sql() -> str:
+    qs = ", ".join(f"cast({q} AS double)" for q in QS)
+    return f"""
+SELECT role, q, 1 AS within_bound
+FROM (SELECT DISTINCT role FROM ({_LATENCY_ROLE_MEASURE_SQL}))
+CROSS JOIN (SELECT unnest([{qs}]) AS q)
+ORDER BY role, q"""
+
+
+# published rank-error bounds asserted by the driver check: KLL k=200 has
+# eps ~ 2.3/k (~1.2%) per Karnin-Lang-Liberty; 4x headroom matches the pytest
+# tolerance (tests/test_companion_sketches.py).  t-digest delta=200 has
+# ~q(1-q)*4/delta (<1% mid-range, tighter in the tails).
+KLL_EPS = 0.05
+TDIGEST_EPS = 0.02
+
+
+def q_kll_latency_by_role(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KLL rank-sketch of inter-turn latency per role (UDAF path): emits the
+    rank-error bound check |rank(est) - q| <= eps per (role, q), verified
+    against the exact data ranks (hash-matchable driver oracle)."""
+    from sketches_go_spark.core.kll import KLLSketch
+
+    src = _latency_by_role(spark, sf_dir)
+    sketches = sk.kll_agg(src, "v", ["role"], k=200)
+    out = sk.with_sketch_quantiles(sketches, KLLSketch.from_bytes, list(QS))
+    est_long = out.select(
+        "role", F.expr("stack(3, 0.5D, p50, 0.95D, p95, 0.99D, p99) AS (q, est)")
+    )
+    return _rank_bound_check(src, est_long, KLL_EPS)
 
 
 def q_tdigest_latency_by_role(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """t-digest quantiles of inter-turn latency per role (UDAF path;
-    order-sensitive clustering — no SQL oracle, rows-only + pytest bound)."""
-    t = transcripts_from_events(spark, sf_dir)
-    w = Window.partitionBy("conv_id").orderBy("turn_idx")
-    micros = F.unix_micros(F.col("ts").cast("timestamp"))
-    lat = (micros - F.lag(micros).over(w)).cast("double") / F.lit(1000000.0)
-    src = t.select("role", lat.alias("v")).where(F.col("v").isNotNull())
+    """t-digest of inter-turn latency per role (UDAF path): emits the
+    rank-error bound check |rank(est) - q| <= eps per (role, q), verified
+    against the exact data ranks (hash-matchable driver oracle)."""
+    from sketches_go_spark.core.tdigest import TDigest
+
+    src = _latency_by_role(spark, sf_dir)
     sketches = sk.tdigest_agg(src, "v", ["role"], delta=200.0)
-    out = sk.with_sketch_quantiles(
-        sketches, __import__(
-            "sketches_go_spark.core.tdigest", fromlist=["TDigest"]
-        ).TDigest.from_bytes, [0.5, 0.95, 0.99],
+    out = sk.with_sketch_quantiles(sketches, TDigest.from_bytes, list(QS))
+    est_long = out.select(
+        "role", F.expr("stack(3, 0.5D, p50, 0.95D, p95, 0.99D, p99) AS (q, est)")
     )
-    return out.select("role", "p50", "p95", "p99").orderBy("role")
+    return _rank_bound_check(src, est_long, TDIGEST_EPS)
 
 
 _STREAM_COUNTER = [0]
@@ -480,8 +533,9 @@ def q_multimodal_frame_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Image decode(stub)+feature extraction over binary payloads
-    (mapInPandas; deterministic fake decoder — rows-only driver check,
-    shapes/invariants asserted in pytest)."""
+    (mapInPandas).  The stub decoder's pixels are md5-derived, so the mean/std
+    are exactly reproducible in SQL from integer byte sums — full hash-match
+    driver oracle; array shapes/invariants additionally asserted in pytest."""
     feats = mm.image_features(_docs_as_media(spark, sf_dir, "image"))
     return feats.select(
         "media_id",
@@ -491,6 +545,34 @@ def q_multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("std", 6).alias("std"),
         F.size("feature").alias("feat_dim"),
     ).orderBy("media_id")
+
+
+# Exact SQL replay of the md5-derived stub decoder: pixels are the 16 md5
+# digest bytes repeated x4 (operators/multimodal.py:_decode_image_stub), so
+# sum(px)=4*sum(b) and the float64 expression chain below is bit-identical to
+# the Spark side (same single-rounding division order; see image_features).
+_IMAGE_FEATURES_ORACLE_SQL = """
+WITH sgs_px AS (
+  SELECT 'image-' || CAST(doc_id AS VARCHAR) AS media_id,
+         CAST(((doc_id % 1920) + 1920) % 1920 + 1 AS INT) AS width,
+         CAST(((doc_id % 1080) + 1080) % 1080 + 1 AS INT) AS height,
+         md5(text) AS hx
+  FROM documents
+), sgs_bytes AS (
+  SELECT media_id, width, height,
+         (strpos('0123456789abcdef', substr(hx, 2 * u.i + 1, 1)) - 1) * 16
+         + (strpos('0123456789abcdef', substr(hx, 2 * u.i + 2, 1)) - 1) AS b
+  FROM sgs_px CROSS JOIN (SELECT unnest(range(0, 16)) AS i) u
+)
+SELECT media_id, width, height,
+       round(sum(b) / 4080.0, 6) AS mean,
+       round(sqrt(greatest(
+           sum(b * b) / 16.0 / 65025.0
+           - (sum(b) / 4080.0) * (sum(b) / 4080.0), 0.0)), 6) AS std,
+       64 AS feat_dim
+FROM sgs_bytes
+GROUP BY media_id, width, height
+ORDER BY media_id"""
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -592,10 +674,12 @@ def oracle_sql() -> dict[str, str]:
             _TOOL_ITEMS_SQL, _BLOOM_PROBES, m_bits=4096, k=5
         )
         + " ORDER BY item",
-        # kll / tdigest: rank-space sketches, genuinely non-SQL-expressible
-        # (order-sensitive state) -> rows-only driver check; accuracy bounds
-        # are asserted in pytest instead (tests/test_companion_sketches.py,
-        # tests/test_sketch_fns_spark.py)
+        # kll / tdigest: the sketch state is non-SQL-expressible, but the
+        # rank-error BOUND is: the Spark query verifies |rank(est) - q| <= eps
+        # against the exact data and emits the boolean; the oracle asserts the
+        # published bound holds for every (role, q)
+        "kll_latency_by_role": _rank_bound_oracle_sql(),
+        "tdigest_latency_by_role": _rank_bound_oracle_sql(),
         "streaming_ddsketch_value_by_event_type": oracles.ddsketch_quantiles_sql(
             _EVENT_VALUE_MEASURE_SQL, ["event_type"], QS, CFG,
             order_by="event_type, q",
@@ -637,13 +721,12 @@ ORDER BY l_returnflag, l_linestatus""",
         "sim_ann_lsh": opl.lsh_ann_topk_oracle(),
         "embedding_neardup": opl.embedding_neardup_oracle(threshold=0.3),
         # frame grid size is pure arithmetic on the deterministic metadata:
-        # sequence(0, duration_ms-1, 1000) has (doc_id % 60) + 1 elements
+        # sequence(0, duration_ms-1, 1000) has pmod(doc_id, 60) + 1 elements
+        # (sign-safe modulo matches Spark's pmod even for negative doc_ids)
         "multimodal_frame_grid": (
             "SELECT 'video-' || CAST(doc_id AS VARCHAR) AS media_id,"
-            " (doc_id % 60) + 1 AS n_frames"
+            " ((doc_id % 60) + 60) % 60 + 1 AS n_frames"
             " FROM documents ORDER BY media_id"
         ),
-        # multimodal_image_features: stub decoder output (md5-derived fake
-        # pixels) is not SQL-expressible -> rows-only driver check; the
-        # feature invariants are asserted in tests/test_pipeline_ops.py
+        "multimodal_image_features": _IMAGE_FEATURES_ORACLE_SQL,
     }

@@ -32,6 +32,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
     BinaryType,
+    DoubleType,
     FloatType,
     IntegerType,
     StringType,
@@ -88,14 +89,19 @@ def _decode_image_stub(payload: bytes) -> np.ndarray:
 
 def image_features(df: DataFrame, batch_size_hint: int = 256) -> DataFrame:
     """mapInPandas feature extraction: decode (stub) -> mean/std/phash-style
-    fingerprint.  Output: media_id, width, height, mean, std, feature(64)."""
+    fingerprint.  Output: media_id, width, height, mean, std, feature(64).
+
+    mean/std are computed from exact integer pixel sums with a fixed float64
+    expression order (s/16320.0, ssq/64.0/65025.0 - mean*mean) so an
+    independent engine replaying the same integer sums over the md5-derived
+    stub pixels reproduces them bit-for-bit (the DuckDB driver oracle does)."""
     out_schema = StructType(
         [
             StructField("media_id", StringType()),
             StructField("width", IntegerType()),
             StructField("height", IntegerType()),
-            StructField("mean", FloatType()),
-            StructField("std", FloatType()),
+            StructField("mean", DoubleType()),
+            StructField("std", DoubleType()),
             StructField("feature", ArrayType(FloatType())),
         ]
     )
@@ -105,14 +111,20 @@ def image_features(df: DataFrame, batch_size_hint: int = 256) -> DataFrame:
             rows = []
             for r in pdf.itertuples():
                 img = _decode_image_stub(r.payload)
-                flat = img.ravel() / 255.0
+                px = img.ravel().astype(np.int64)  # 64 exact pixel ints
+                s = int(px.sum())
+                ssq = int((px * px).sum())
+                mean = s / 16320.0  # 64 * 255
+                var = ssq / 64.0 / 65025.0 - mean * mean  # 255^2
+                std = float(np.sqrt(max(var, 0.0)))
+                flat = img.ravel() / np.float32(255.0)
                 rows.append(
                     (
                         r.media_id,
                         r.width,
                         r.height,
-                        float(flat.mean()),
-                        float(flat.std()),
+                        mean,
+                        std,
                         [float(x) for x in flat],
                     )
                 )
