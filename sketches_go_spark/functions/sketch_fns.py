@@ -5,9 +5,10 @@ t-digest) — same two-path design as DDSketch:
   Catalyst: hash → modulo → groupBy, map-side combined, Python-free, and
   exactly reproducible in DuckDB (the oracle replays the identical hash);
 - **UDAF paths** produce the sketch as an encoded BinaryType value via the
-  explicit two-phase mapInPandas-partial → shuffle → applyInPandas-merge
-  topology (shared template ``two_phase_agg``), for rollups / storage /
-  streaming state.
+  explicit two-phase mapInPandas-partial → shuffle-of-tiny-blobs → streaming
+  mapInPandas merge topology (shared template ``two_phase_agg`` — the same
+  repartition+sortWithinPartitions+streaming-merge shape as
+  ``ddsketch_fns.ddsketch_merge``), for rollups / storage / streaming state.
 """
 
 from __future__ import annotations
@@ -51,45 +52,95 @@ def two_phase_agg(
     partial_add: Callable[[object, pd.DataFrame], None],
     decode: Callable[[bytes], object],
     out_col: str = "sketch",
+    strategy: str = "combine",
+    flush_groups: int = 50_000,
 ) -> DataFrame:
-    """Shared topology for every mergeable sketch: one partial sketch per
-    (group x input partition) built batch-wise in mapInPandas (map-side
-    combine), then a shuffle of the tiny encoded partials and an
-    applyInPandas merge.  Sketch objects must expose .merge() and
-    .to_bytes()."""
+    """Shared topology for every mergeable sketch.  Sketch objects must
+    expose ``.merge()`` and ``.to_bytes()``.
+
+    strategy='combine' (default): one partial sketch per (group x input
+    partition) built batch-wise in mapInPandas (map-side combine), shuffle of
+    the tiny encoded partials keyed on the group, then a STREAMING merge —
+    repartition + sortWithinPartitions + a single mapInPandas pass that walks
+    the sorted partials and emits one sketch per key run.  Same topology as
+    ``ddsketch_fns.ddsketch_merge``: per-group invocation cost is one Python
+    decode per partial row, not the ~1 ms applyInPandas per-group call that
+    dominates at 10^5+ keys.
+
+    strategy='repartition': shuffle the raw rows once so each group lands
+    wholly in one partition, build partials there, and merge locally
+    (sortWithinPartitions only — no second shuffle).  Optimal at high key
+    cardinality where map-side combine finds nothing to combine.
+
+    ``flush_groups`` bounds the partial-build dict: when a task has
+    accumulated that many distinct groups it flushes them as partial rows and
+    starts fresh (the merge stage tolerates multiple partials per group), so
+    per-task memory is O(flush_groups x sketch size) regardless of key
+    cardinality."""
     key_fields = [df.schema[k] for k in keys]
     out_schema = StructType(list(key_fields) + [StructField(out_col, BinaryType())])
+    kcols = list(keys)
 
     def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         acc: dict = {}
+
+        def drain() -> pd.DataFrame:
+            rows = [
+                (*(gk if isinstance(gk, tuple) else (gk,)), s.to_bytes())
+                for gk, s in acc.items()
+            ]
+            return pd.DataFrame(rows, columns=kcols + [out_col])
+
         for pdf in batches:
             if pdf.empty:
                 continue
-            for gkey, idx in pdf.groupby(list(keys), dropna=False, sort=False).indices.items():
-                sk = acc.get(gkey)
-                if sk is None:
-                    sk = acc[gkey] = make()
-                partial_add(sk, pdf.iloc[idx])
-        if not acc:
-            return
-        rows = [
-            (*(gk if isinstance(gk, tuple) else (gk,)), sk.to_bytes())
-            for gk, sk in acc.items()
-        ]
-        yield pd.DataFrame(rows, columns=list(keys) + [out_col])
+            for gkey, idx in pdf.groupby(kcols, dropna=False, sort=False).indices.items():
+                s = acc.get(gkey)
+                if s is None:
+                    s = acc[gkey] = make()
+                partial_add(s, pdf.iloc[idx])
+            if len(acc) >= flush_groups:
+                yield drain()
+                acc = {}
+        if acc:
+            yield drain()
 
-    partials = df.select(*keys, *cols).mapInPandas(build, schema=out_schema)
+    src = df.select(*keys, *cols)
+    if strategy == "repartition":
+        src = src.repartition(*kcols)
+    partials = src.mapInPandas(build, schema=out_schema)
 
-    def merge(pdf: pd.DataFrame) -> pd.DataFrame:
-        it = iter(pdf[out_col])
-        acc = decode(bytes(next(it)))
-        for blob in it:
-            acc.merge(decode(bytes(blob)))
-        head = pdf.iloc[[0]][list(keys)].copy()
-        head[out_col] = [acc.to_bytes()]
-        return head
+    def merge_stream(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cur_key: tuple | None = None
+        cur = None
+        out_rows: list[tuple] = []
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            key_arrays = [pdf[k].to_numpy() for k in kcols]
+            for i, blob in enumerate(pdf[out_col]):
+                k = tuple(a[i] for a in key_arrays)
+                if k != cur_key:
+                    if cur is not None:
+                        out_rows.append((*cur_key, cur.to_bytes()))
+                    cur_key = k
+                    cur = decode(bytes(blob))
+                else:
+                    cur.merge(decode(bytes(blob)))
+            if len(out_rows) >= 10000:
+                yield pd.DataFrame(out_rows, columns=kcols + [out_col])
+                out_rows = []
+        if cur is not None:
+            out_rows.append((*cur_key, cur.to_bytes()))
+        if out_rows:
+            yield pd.DataFrame(out_rows, columns=kcols + [out_col])
 
-    return partials.groupBy(*keys).applyInPandas(merge, schema=out_schema)
+    if strategy == "repartition":
+        # groups are already co-located; only an in-partition sort is needed
+        shuffled = partials.sortWithinPartitions(*kcols)
+    else:
+        shuffled = partials.repartition(*kcols).sortWithinPartitions(*kcols)
+    return shuffled.mapInPandas(merge_stream, schema=out_schema)
 
 
 # =====================================================================
@@ -147,7 +198,12 @@ def hll_estimate_relational(
 
 
 def hll_agg(
-    df: DataFrame, item_col: str, keys: Sequence[str], p: int = 12
+    df: DataFrame,
+    item_col: str,
+    keys: Sequence[str],
+    p: int = 12,
+    strategy: str = "combine",
+    flush_groups: int = 50_000,
 ) -> DataFrame:
     """UDAF path: (keys..., sketch:binary) HLL value column.  Hashing happens
     JVM-side (portable hash) so the Arrow batches carry int64s."""
@@ -159,7 +215,8 @@ def hll_agg(
         sk.add_hashes(pdf["_h"].to_numpy(dtype=np.int64))
 
     return two_phase_agg(
-        hashed, ["_h"], keys, lambda: HyperLogLog(p), add, HyperLogLog.from_bytes
+        hashed, ["_h"], keys, lambda: HyperLogLog(p), add, HyperLogLog.from_bytes,
+        strategy=strategy, flush_groups=flush_groups,
     )
 
 
@@ -238,6 +295,8 @@ def cms_agg(
     keys: Sequence[str],
     depth: int = 4,
     width: int = 512,
+    strategy: str = "combine",
+    flush_groups: int = 50_000,
 ) -> DataFrame:
     """UDAF path: encoded CMS value per group (columns pre-hashed JVM-side)."""
     src = df.where(_col(item_col).isNotNull())
@@ -260,6 +319,8 @@ def cms_agg(
         lambda: CountMinSketch(depth, width),
         add,
         CountMinSketch.from_bytes,
+        strategy=strategy,
+        flush_groups=flush_groups,
     )
 
 
@@ -320,6 +381,8 @@ def bloom_agg(
     keys: Sequence[str],
     m_bits: int = 4096,
     k: int = 5,
+    strategy: str = "combine",
+    flush_groups: int = 50_000,
 ) -> DataFrame:
     """UDAF path: encoded Bloom filter value per group."""
     src = df.where(_col(item_col).isNotNull())
@@ -342,6 +405,8 @@ def bloom_agg(
         lambda: BloomFilter(m_bits, k),
         add,
         BloomFilter.from_bytes,
+        strategy=strategy,
+        flush_groups=flush_groups,
     )
 
 
@@ -349,7 +414,12 @@ def bloom_agg(
 # KLL / t-digest (UDAF-only: rank-space sketches aren't relational)
 # =====================================================================
 def kll_agg(
-    df: DataFrame, value_col: str, keys: Sequence[str], k: int = 200
+    df: DataFrame,
+    value_col: str,
+    keys: Sequence[str],
+    k: int = 200,
+    strategy: str = "combine",
+    flush_groups: int = 50_000,
 ) -> DataFrame:
     def add(sk: KLLSketch, pdf: pd.DataFrame) -> None:
         sk.add(pdf[value_col].to_numpy(dtype=np.float64, na_value=np.nan))
@@ -361,11 +431,18 @@ def kll_agg(
         lambda: KLLSketch(k),
         add,
         KLLSketch.from_bytes,
+        strategy=strategy,
+        flush_groups=flush_groups,
     )
 
 
 def tdigest_agg(
-    df: DataFrame, value_col: str, keys: Sequence[str], delta: float = 200.0
+    df: DataFrame,
+    value_col: str,
+    keys: Sequence[str],
+    delta: float = 200.0,
+    strategy: str = "combine",
+    flush_groups: int = 50_000,
 ) -> DataFrame:
     def add(sk: TDigest, pdf: pd.DataFrame) -> None:
         sk.add(pdf[value_col].to_numpy(dtype=np.float64, na_value=np.nan))
@@ -377,6 +454,8 @@ def tdigest_agg(
         lambda: TDigest(delta),
         add,
         TDigest.from_bytes,
+        strategy=strategy,
+        flush_groups=flush_groups,
     )
 
 

@@ -87,34 +87,65 @@ class CheckpointedSketchJob:
         return F.pmod(h, F.lit(self.n_slices))
 
     def _slice_dir(self, s: int) -> str:
-        return os.path.join(self.job_dir, f"slice={s}")
+        # no '=' in the name: the committed dirs must never be mistaken for
+        # hive-style partitions when read back as a multi-path parquet scan
+        return os.path.join(self.job_dir, f"slice-{s}")
+
+    @staticmethod
+    def _dir_stats(sdir: str) -> tuple[int, int]:
+        """(rows, bytes) from parquet footers — local metadata only, no scan."""
+        import pyarrow.parquet as pq
+
+        rows = 0
+        size = 0
+        for name in os.listdir(sdir):
+            path = os.path.join(sdir, name)
+            if name.endswith(".parquet") and os.path.isfile(path):
+                rows += pq.ParquetFile(path).metadata.num_rows
+                size += os.path.getsize(path)
+        return rows, size
 
     def run(self, df: DataFrame, value_col: str, fail_after_slices: int | None = None):
         """Compute partial sketches for every slice not yet in the manifest.
 
+        All sketch I/O is executor-side: each chunk's partials are written by
+        the executors as a parquet directory partitioned by ``_slice``; the
+        driver only renames the per-slice directory into place and appends the
+        manifest line (the commit point).  Nothing but footer metadata ever
+        crosses the driver — per-conv_id granularity (millions of groups)
+        checkpoints without driver memory pressure.
+
         ``fail_after_slices`` injects a crash after N slices (test hook for
         the resume path)."""
+        import shutil
+
         done = self.completed_slices()
         missing = [s for s in range(self.n_slices) if s not in done]
         sliced = df.withColumn("_slice", self._slice_col())
         processed = 0
+        staging = os.path.join(self.job_dir, "_staging")
         for i in range(0, len(missing), self.slices_per_batch):
             chunk = missing[i : i + self.slices_per_batch]
             t0 = time.perf_counter()
             part = sliced.where(F.col("_slice").isin([int(s) for s in chunk]))
             out = ddsketch_agg(part, value_col, [*self.keys, "_slice"], self.config)
-            pdf = out.toPandas()
+            # executor-side write; partitionBy splits the chunk per slice
+            out.write.mode("overwrite").partitionBy("_slice").parquet(staging)
             wall = time.perf_counter() - t0
             for s in chunk:
-                sub = pdf[pdf["_slice"] == s].drop(columns=["_slice"])
+                src = os.path.join(staging, f"_slice={int(s)}")
                 sdir = self._slice_dir(int(s))
-                os.makedirs(sdir, exist_ok=True)
-                path = os.path.join(sdir, "partials.parquet")
-                sub.to_parquet(path)
+                n_groups = 0
+                bytes_written = 0
+                if os.path.isdir(src):
+                    if os.path.isdir(sdir):
+                        shutil.rmtree(sdir)  # uncommitted leftover from a crash
+                    os.replace(src, sdir)
+                    n_groups, bytes_written = self._dir_stats(sdir)
                 rec = SliceRecord(
                     slice_id=int(s),
-                    n_groups=len(sub),
-                    bytes_written=os.path.getsize(path),
+                    n_groups=n_groups,
+                    bytes_written=bytes_written,
                     wall_sec=round(wall / len(chunk), 4),
                     attempt=1,
                     finished_at=time.time(),
@@ -127,21 +158,25 @@ class CheckpointedSketchJob:
                     raise RuntimeError(
                         f"injected failure after {processed} slices"
                     )
+            shutil.rmtree(staging, ignore_errors=True)
         return self
 
     def result(self, spark: SparkSession) -> DataFrame:
         """Merged per-group sketches from all checkpointed slices
-        (decode-and-merge; resume-safe: requires a complete manifest)."""
+        (decode-and-merge; resume-safe: requires a complete manifest).
+        The partials are read back as a distributed parquet scan — the
+        driver never materializes sketch blobs."""
         done = self.completed_slices()
         if len(done) < self.n_slices:
             missing = sorted(set(range(self.n_slices)) - set(done))
             raise RuntimeError(f"job incomplete; missing slices {missing}")
-        frames = [
-            pd.read_parquet(os.path.join(self._slice_dir(s), "partials.parquet"))
-            for s in sorted(done)
+        paths = [
+            self._slice_dir(s) for s in sorted(done)
+            if os.path.isdir(self._slice_dir(s))
         ]
-        allp = pd.concat(frames, ignore_index=True)
-        partials = spark.createDataFrame(allp)
+        if not paths:
+            raise RuntimeError("job complete but every slice is empty")
+        partials = spark.read.parquet(*paths)
         return ddsketch_merge(partials, self.keys, self.config)
 
     def quantiles(self, spark: SparkSession, qs: Sequence[float]) -> DataFrame:

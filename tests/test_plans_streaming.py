@@ -75,7 +75,43 @@ def test_checkpoint_resume_after_failure(spark, skewed, tmp_path):
         assert np.array_equal(merged[g].pos_idx, core.pos_idx)
     m = job2.metrics()
     assert set(m["slice_id"]) == set(range(8))
-    assert (m["n_groups"] > 0).any() and (m["bytes_written"] > 0).all()
+    # only 4 distinct keys over 8 hash slices: some slices are legitimately
+    # empty (0 groups, 0 bytes); non-empty ones must have real footprints
+    assert m["n_groups"].sum() == pdf["g"].nunique()
+    nonempty = m[m["n_groups"] > 0]
+    assert len(nonempty) > 0 and (nonempty["bytes_written"] > 0).all()
+
+
+def test_checkpoint_high_cardinality_keys(spark, tmp_path):
+    """Per-conv_id granularity: 20k groups through the executor-side
+    checkpoint path (no driver materialization of partials), resumable."""
+    n_groups = 20_000
+    sdf = (
+        spark.range(n_groups * 3)
+        .select(
+            F.concat(
+                F.lit("conv-"), F.pmod("id", F.lit(n_groups)).cast("string")
+            ).alias("conv_id"),
+            (F.col("id") % 97 + 1).cast("double").alias("v"),
+        )
+        .repartition(8)
+    )
+    job_dir = str(tmp_path / "ckpt_hc")
+    job = CheckpointedSketchJob(job_dir, keys=["conv_id"], n_slices=4,
+                                slices_per_batch=2)
+    with pytest.raises(RuntimeError, match="injected failure"):
+        job.run(sdf, "v", fail_after_slices=2)
+    job2 = CheckpointedSketchJob(job_dir, keys=["conv_id"], n_slices=4,
+                                 slices_per_batch=2)
+    job2.run(sdf, "v")
+    res = job2.result(spark)
+    assert res.count() == n_groups
+    m = job2.metrics()
+    assert m["n_groups"].sum() == n_groups
+    # spot-check one group end to end: 3 values per conv
+    row = res.where(F.col("conv_id") == "conv-42").collect()[0]
+    s = decode_sketch(bytes(row["sketch"]))
+    assert s.count == pytest.approx(3.0)
 
 
 @pytest.fixture(scope="module")

@@ -114,3 +114,44 @@ def test_kll_tdigest_spark_accuracy(spark):
     for q, tol in ((0.01, 0.005), (0.5, 0.02), (0.99, 0.005), (0.999, 0.002)):
         rank = np.searchsorted(sv, td.quantile(q)) / n
         assert abs(rank - q) <= tol
+
+
+def test_two_phase_high_cardinality_bounded_memory(spark):
+    """10^5 distinct group keys through the streaming merge topology with a
+    small flush threshold (forces multiple partial flushes per task): results
+    must be identical to the unflushed run, and per-group estimates exact for
+    single-item groups.  Also exercises strategy='repartition'."""
+    n_groups = 100_000
+    df = (
+        spark.range(n_groups)
+        .select(
+            F.concat(F.lit("conv-"), F.col("id").cast("string")).alias("conv_id"),
+            F.concat(F.lit("u-"), F.pmod("id", F.lit(7)).cast("string")).alias("item"),
+        )
+        .repartition(8)
+    )
+    p = 6
+    flushed = sk.hll_agg(df, "item", ["conv_id"], p=p, flush_groups=2_000).toPandas()
+    assert len(flushed) == n_groups
+    # flushing must not change the result: HLL register-max merge is
+    # order-insensitive, so the encoded sketches are byte-identical
+    plain = sk.hll_agg(df, "item", ["conv_id"], p=p, flush_groups=10**9).toPandas()
+    l = flushed.sort_values("conv_id").reset_index(drop=True)
+    r = plain.sort_values("conv_id").reset_index(drop=True)
+    assert (l["conv_id"] == r["conv_id"]).all()
+    assert all(bytes(a) == bytes(b) for a, b in zip(l["sketch"], r["sketch"]))
+    # repartition strategy: same bytes again (single item per group)
+    rep = (
+        sk.hll_agg(df, "item", ["conv_id"], p=p, strategy="repartition",
+                   flush_groups=2_000)
+        .toPandas()
+        .sort_values("conv_id")
+        .reset_index(drop=True)
+    )
+    assert all(bytes(a) == bytes(b) for a, b in zip(l["sketch"], rep["sketch"]))
+    # every group holds exactly 1 distinct item -> estimate 1.0
+    samp = l.iloc[:: n_groups // 50]
+    for blob in samp["sketch"]:
+        assert HyperLogLog.from_bytes(bytes(blob)).estimate() == pytest.approx(
+            1.0, abs=0.01
+        )
