@@ -477,6 +477,15 @@ def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
+def q_dedup_simhash_pairs_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (hamming <= 3) with NO blocking column —
+    pigeonhole candidate generation is lossless, so the oracle is the exact
+    all-pairs hamming filter."""
+    return dedup.simhash_pairs(
+        _docs(spark, sf_dir), bits=16, max_hamming=3, block_col=None
+    ).orderBy("id_a", "id_b")
+
+
 def q_sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine top-5 neighbors for the first 5 vectors (baseline)."""
     embs = _embs(spark, sf_dir)
@@ -610,6 +619,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
         "dedup_simhash_pairs": q_dedup_simhash_pairs,
+        "dedup_simhash_pairs_global": q_dedup_simhash_pairs_global,
         "sim_topk_bruteforce": q_sim_topk_bruteforce,
         "sim_ann_lsh": q_sim_ann_lsh,
         "embedding_neardup": q_embedding_neardup,
@@ -717,6 +727,7 @@ ORDER BY l_returnflag, l_linestatus""",
         "dedup_minhash_lsh": opl.minhash_lsh_oracle(threshold=0.5),
         "dedup_simhash": opl.simhash_oracle(),
         "dedup_simhash_pairs": opl.simhash_pairs_oracle(max_hamming=1),
+        "dedup_simhash_pairs_global": opl.simhash_pairs_global_oracle(max_hamming=3),
         "sim_topk_bruteforce": opl.brute_force_topk_oracle(),
         "sim_ann_lsh": opl.lsh_ann_topk_oracle(),
         "embedding_neardup": opl.embedding_neardup_oracle(threshold=0.3),

@@ -260,21 +260,63 @@ def simhash_pairs(
 ) -> DataFrame:
     """(id_a, id_b, hamming) pairs with hamming(simhash) <= max_hamming.
 
-    Blocking: join within ``block_col`` when given (e.g. lang); otherwise the
-    high byte of the simhash is the block key (near-dups share high bits with
-    overwhelming probability for small d)."""
+    Candidate generation is PIGEONHOLE blocking and therefore lossless: the
+    b-bit fingerprint is split into ``max_hamming + 1`` contiguous segments;
+    a pair differing in at most ``max_hamming`` bits must agree on at least
+    one whole segment, so joining on every (segment_index, segment_value) key
+    and unioning the candidates can never miss a true pair (unlike
+    single-block schemes such as "high byte of the hash", which drop pairs
+    that happen to differ in a blocked bit).  ``block_col`` (e.g. lang) is an
+    ADDITIONAL equality filter on the join — it narrows candidates and the
+    output scope, never the recall within a block.
+
+    Scale shape: explode is x(d+1), the join keys are fine-grained
+    (segment value spreads the corpus over 2^(b/(d+1)) buckets per segment),
+    and the exact hamming verification runs only on candidates."""
     sig = simhash(df, id_col, text_col, bits)
     if block_col is not None:
         blocks = df.select(_col(id_col).alias(id_col), _col(block_col).alias("_blk"))
         sig = sig.join(blocks, id_col)
     else:
-        sig = sig.withColumn("_blk", F.shiftright(F.col("simhash"), bits - 8))
-    a = sig.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"), "_blk")
-    b = sig.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b"), "_blk")
-    return (
-        a.join(b, "_blk")
+        sig = sig.withColumn("_blk", F.lit(0))
+    nseg = max_hamming + 1
+    bounds = [round(i * bits / nseg) for i in range(nseg + 1)]
+    segs = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("seg"),
+                F.shiftright(F.col("simhash"), bounds[i])
+                .bitwiseAND(F.lit((1 << (bounds[i + 1] - bounds[i])) - 1))
+                .alias("segval"),
+            )
+            for i in range(nseg)
+        ]
+    )
+    keyed = sig.select(
+        id_col, "simhash", "_blk", F.explode(segs).alias("sg")
+    ).select(
+        id_col,
+        "simhash",
+        "_blk",
+        F.col("sg.seg").alias("seg"),
+        F.col("sg.segval").alias("segval"),
+    )
+    a = keyed.select(
+        F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"),
+        "_blk", "seg", "segval",
+    )
+    b = keyed.select(
+        F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b"),
+        "_blk", "seg", "segval",
+    )
+    cand = (
+        a.join(b, ["_blk", "seg", "segval"])
         .where(F.col("id_a") < F.col("id_b"))
-        .withColumn(
+        .select("id_a", "id_b", "sh_a", "sh_b")
+        .distinct()
+    )
+    return (
+        cand.withColumn(
             "hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
         )
         .where(F.col("hamming") <= max_hamming)

@@ -172,6 +172,22 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
 ORDER BY id_a, id_b"""
 
 
+def simhash_pairs_global_oracle(
+    src: str = "documents", bits: int = 16, max_hamming: int = 3
+) -> str:
+    """Ground-truth all-pairs hamming filter — a valid oracle for the Spark
+    operator precisely because its pigeonhole blocking is lossless (the
+    operator's output IS the exact pair set)."""
+    base = simhash_oracle(src, bits).rsplit("ORDER BY", 1)[0]
+    return f"""WITH sgs_simhash AS ({base})
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       cast(bit_count(xor(a.simhash, b.simhash)) AS int) AS hamming
+FROM sgs_simhash a
+JOIN sgs_simhash b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
+ORDER BY id_a, id_b"""
+
+
 # ----------------------------------------------------------------- similarity
 def _dot_sql(a: str, b: str, dim: int) -> str:
     return (

@@ -101,3 +101,27 @@ def test_exact_dedup_canonical_flags(spark):
     assert not bool(out.loc[3, "is_canonical"])
     assert bool(out.loc[4, "is_canonical"])
     assert out.loc[1, "fingerprint"] == out.loc[3, "fingerprint"]
+
+
+def test_simhash_pigeonhole_complete_recall(spark):
+    """Pigeonhole blocking must find EVERY pair with hamming <= d, including
+    pairs differing only in high bits (the failure mode of single-block
+    schemes).  Equivalence vs exact all-pairs computed from the fingerprints."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    bits, d = 16, 3
+    sigs = dedup.simhash(docs, bits=bits).toPandas().set_index("doc_id")["simhash"]
+    ids = sorted(sigs.index)
+    expect = {
+        (a, b)
+        for i, a in enumerate(ids)
+        for b in ids[i + 1 :]
+        if bin(int(sigs[a]) ^ int(sigs[b])).count("1") <= d
+    }
+    got_df = dedup.simhash_pairs(
+        docs, bits=bits, max_hamming=d, block_col=None
+    ).toPandas()
+    got = {(r.id_a, r.id_b) for r in got_df.itertuples()}
+    assert got == expect
+    # at least one found pair must differ in a top-8 bit (would be missed by
+    # high-byte blocking) for the test to be non-vacuous
+    assert any((int(sigs[a]) ^ int(sigs[b])) >> (bits - 8) != 0 for a, b in got)
