@@ -496,20 +496,24 @@ def q_sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ANN top-5 via random-hyperplane LSH buckets (the 100-TB scale path)."""
+    """ANN top-5 via banded multi-probe hyperplane LSH (the 100-TB scale
+    path: candidates are the union over 4 independent 8-bit bands, with
+    hamming-1 query probes)."""
     embs = _embs(spark, sf_dir)
     queries = embs.where(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    return sim.lsh_ann_topk(embs, queries, k=5, n_planes=8).orderBy(
-        "query_id", "rank"
-    )
+    return sim.lsh_ann_topk(
+        embs, queries, k=5, n_bands=4, band_bits=8, multi_probe=True
+    ).orderBy("query_id", "rank")
 
 
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding near-dup pairs (cosine >= 0.3) within LSH buckets."""
+    """Embedding near-dup pairs (cosine >= 0.3) within banded LSH buckets
+    (union over 4 bands), hot buckets capped at 400 vectors."""
     return sim.embedding_neardup_pairs(
-        _embs(spark, sf_dir), threshold=0.3, n_planes=8
+        _embs(spark, sf_dir), threshold=0.3, n_bands=4, band_bits=8,
+        bucket_cap=400,
     ).orderBy("id_a", "id_b")
 
 
@@ -730,7 +734,9 @@ ORDER BY l_returnflag, l_linestatus""",
         "dedup_simhash_pairs_global": opl.simhash_pairs_global_oracle(max_hamming=3),
         "sim_topk_bruteforce": opl.brute_force_topk_oracle(),
         "sim_ann_lsh": opl.lsh_ann_topk_oracle(),
-        "embedding_neardup": opl.embedding_neardup_oracle(threshold=0.3),
+        "embedding_neardup": opl.embedding_neardup_oracle(
+            threshold=0.3, bucket_cap=400
+        ),
         # frame grid size is pure arithmetic on the deterministic metadata:
         # sequence(0, duration_ms-1, 1000) has pmod(doc_id, 60) + 1 elements
         # (sign-safe modulo matches Spark's pmod even for negative doc_ids)

@@ -232,31 +232,48 @@ def _plane_literal(j: int, dim: int) -> str:
     return "[" + ", ".join(repr(x) for x in hyperplane(j, dim)) + "]"
 
 
-def _bucket_sql(vec: str, n_planes: int, dim: int) -> str:
+def _band_key_sql(vec: str, band: int, band_bits: int, dim: int) -> str:
+    """One band's bucket key: sign bits of planes band*band_bits + i —
+    identical global plane indexing to operators.similarity.band_planes."""
     terms = []
-    for j in range(n_planes):
-        proj = _dot_sql(vec, _plane_literal(j, dim), dim)
-        terms.append(f"(CASE WHEN {proj} > 0 THEN {1 << j} ELSE 0 END)")
+    for i in range(band_bits):
+        proj = _dot_sql(vec, _plane_literal(band * band_bits + i, dim), dim)
+        terms.append(f"(CASE WHEN {proj} > 0 THEN {1 << i} ELSE 0 END)")
     return "cast(" + " + ".join(terms) + " AS bigint)"
+
+
+def _band_key_cols(vec: str, n_bands: int, band_bits: int, dim: int) -> str:
+    return ", ".join(
+        f"{_band_key_sql(vec, b, band_bits, dim)} AS k{b}" for b in range(n_bands)
+    )
 
 
 def lsh_ann_topk_oracle(
     src: str = "embeddings",
     n_queries: int = 5,
     k: int = 5,
-    n_planes: int = 8,
+    n_bands: int = 4,
+    band_bits: int = 8,
     dim: int = 64,
+    multi_probe: bool = True,
 ) -> str:
-    bucket_v = _bucket_sql("v.embedding", n_planes, dim)
-    bucket_q = _bucket_sql("q.embedding", n_planes, dim)
+    """Banded-LSH candidate semantics: candidate iff some band's keys are
+    within hamming <= 1 (multi-probe) / == 0 of the query's."""
+    max_h = 1 if multi_probe else 0
+    cond = " OR ".join(
+        f"bit_count(xor(v.k{b}, q.k{b})) <= {max_h}" for b in range(n_bands)
+    )
     cos = _cos_sql("q.embedding", "v.embedding", dim)
-    return f"""WITH sgs_v AS (SELECT vec_id, embedding, {_bucket_sql('embedding', n_planes, dim)} AS bkt FROM {src}),
-sgs_q AS (SELECT vec_id AS query_id, embedding,
-                 {_bucket_sql('embedding', n_planes, dim)} AS bkt
-          FROM {src} WHERE vec_id < {n_queries}),
+    return f"""WITH sgs_v AS (
+  SELECT vec_id, embedding, {_band_key_cols('embedding', n_bands, band_bits, dim)}
+  FROM {src}),
+sgs_q AS (
+  SELECT vec_id AS query_id, embedding,
+         {_band_key_cols('embedding', n_bands, band_bits, dim)}
+  FROM {src} WHERE vec_id < {n_queries}),
 sgs_sims AS (
   SELECT q.query_id, v.vec_id, {cos} AS sim
-  FROM sgs_v v JOIN sgs_q q ON v.bkt = q.bkt
+  FROM sgs_v v JOIN sgs_q q ON ({cond})
 ),
 sgs_ranked AS (
   SELECT query_id, vec_id, sim,
@@ -268,11 +285,33 @@ ORDER BY query_id, rank"""
 
 
 def embedding_neardup_oracle(
-    src: str = "embeddings", threshold: float = 0.8, n_planes: int = 8, dim: int = 64
+    src: str = "embeddings",
+    threshold: float = 0.8,
+    n_bands: int = 4,
+    band_bits: int = 8,
+    dim: int = 64,
+    bucket_cap: int | None = None,
 ) -> str:
+    key_rows = "\nUNION ALL\n".join(
+        f"SELECT vec_id, embedding, {b} AS band, k{b} AS key FROM sgs_v"
+        for b in range(n_bands)
+    )
+    cap_cte = ""
+    keyed_src = "sgs_keys"
+    if bucket_cap is not None:
+        cap_cte = f""",
+sgs_ok AS (
+  SELECT band, key FROM sgs_keys GROUP BY band, key HAVING count(*) <= {bucket_cap}
+),
+sgs_keys_c AS (SELECT k.* FROM sgs_keys k JOIN sgs_ok USING (band, key))"""
+        keyed_src = "sgs_keys_c"
     cos = _cos_sql("a.embedding", "b.embedding", dim)
-    return f"""WITH sgs_v AS (SELECT vec_id, embedding, {_bucket_sql('embedding', n_planes, dim)} AS bkt FROM {src})
-SELECT a.vec_id AS id_a, b.vec_id AS id_b, {cos} AS sim
-FROM sgs_v a JOIN sgs_v b ON a.bkt = b.bkt AND a.vec_id < b.vec_id
+    return f"""WITH sgs_v AS (
+  SELECT vec_id, embedding, {_band_key_cols('embedding', n_bands, band_bits, dim)}
+  FROM {src}),
+sgs_keys AS ({key_rows}){cap_cte}
+SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b, {cos} AS sim
+FROM {keyed_src} a
+JOIN {keyed_src} b ON a.band = b.band AND a.key = b.key AND a.vec_id < b.vec_id
 WHERE {cos} >= {threshold}
 ORDER BY id_a, id_b"""

@@ -4,17 +4,22 @@
   product runs JVM-side (``F.aggregate``/``zip_with`` fold — no Python);
   per-query top-k via a window over (rounded similarity, id) so ranking is
   deterministic and engine-portable.
-- **random-hyperplane LSH (ANN)**: b sign-bits of projections onto
-  deterministic pseudo-random hyperplanes form a bucket key; candidates share
-  a bucket (multi-probe: exact bucket only here), refined by exact cosine.
-  The hyperplanes are derived from the portable hash, so the DuckDB oracle
-  reproduces them bit-for-bit.
+- **random-hyperplane LSH (ANN)**: BANDED — ``n_bands`` independent plane
+  sets of ``band_bits`` sign-bits each; a vector gets one (band, key) bucket
+  per band and candidates are the UNION over bands (OR of ANDs, the classic
+  LSH amplification).  Query-side multi-probe additionally probes every
+  key at hamming distance 1, so recall is tunable without more bands.
+  Candidates are refined by exact cosine.  The hyperplanes are md5-derived,
+  so the DuckDB oracle reproduces them bit-for-bit.
 - **embedding cosine near-dup**: all pairs with cosine >= threshold within
-  LSH buckets.
+  banded LSH buckets, with an optional ``bucket_cap`` that drops
+  degenerate hot buckets (the anti-quadratic guard, like dedup's df_cap).
 
-At 100 TB the scale path is the LSH variant: the bucket key turns the
-quadratic cross join into a per-bucket self-join, and the projection loop is
-a fixed-size literal array (Catalyst constant-folds the hyperplanes).
+At 100 TB the scale path is the LSH variant: bucket keys turn the quadratic
+cross join into per-bucket self-joins; ``band_bits`` should grow with the
+corpus (~log2(n / target_bucket_size), see :func:`auto_band_bits`) so
+expected bucket sizes stay bounded, and ``n_bands`` buys recall
+(P(candidate) = 1 - (1 - p^band_bits)^n_bands for bit-agreement prob p).
 """
 
 from __future__ import annotations
@@ -108,31 +113,89 @@ def lsh_bucket_expr(vec: Column, planes: Sequence[Sequence[float]]) -> Column:
     return acc
 
 
+def band_planes(band: int, band_bits: int, dim: int) -> list[list[float]]:
+    """The ``band_bits`` hyperplanes of one band (globally indexed so bands
+    are independent: band b uses planes b*band_bits .. b*band_bits+bits-1)."""
+    return [hyperplane(band * band_bits + i, dim) for i in range(band_bits)]
+
+
+def auto_band_bits(n_vectors: int, target_bucket_size: int = 64) -> int:
+    """band_bits ~ log2(n / target bucket size): keeps the expected bucket
+    population bounded as the corpus grows (the scale knob the fixed-2^8
+    scheme lacked)."""
+    import math
+
+    return max(2, math.ceil(math.log2(max(n_vectors, 2) / max(target_bucket_size, 1))))
+
+
+def _banded_keys(
+    df: DataFrame,
+    vec_col: str,
+    n_bands: int,
+    band_bits: int,
+    dim: int,
+    carry: Sequence[str],
+    multi_probe: bool = False,
+) -> DataFrame:
+    """Explode a vector relation into (carry..., band, key) rows — one row
+    per band (plus the ``band_bits`` hamming-1 probe keys per band when
+    ``multi_probe``).  Keys are computed once per band via a projection
+    column, so probes are cheap XORs, not re-projections."""
+    out = df
+    for bnd in range(n_bands):
+        key = lsh_bucket_expr(F.col(vec_col), band_planes(bnd, band_bits, dim))
+        out = out.withColumn(f"_k{bnd}", key)
+    structs = []
+    for bnd in range(n_bands):
+        base = F.col(f"_k{bnd}")
+        keys = [base]
+        if multi_probe:
+            keys += [base.bitwiseXOR(F.lit(1 << i)) for i in range(band_bits)]
+        structs += [
+            F.struct(F.lit(bnd).alias("band"), kk.alias("key")) for kk in keys
+        ]
+    return out.select(
+        *carry, F.explode(F.array(*structs)).alias("_bk")
+    ).select(*carry, F.col("_bk.band").alias("band"), F.col("_bk.key").alias("key"))
+
+
 def lsh_ann_topk(
     vectors: DataFrame,
     queries: DataFrame,
     k: int = 5,
-    n_planes: int = 8,
+    n_bands: int = 4,
+    band_bits: int = 8,
     dim: int = 64,
+    multi_probe: bool = True,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     sim_decimals: int = 4,
 ) -> DataFrame:
-    """Approximate top-k: candidates restricted to the query's LSH bucket,
-    refined by exact cosine.  Recall < 1 by design; the accuracy/scale
-    trade-off is tested against the brute-force baseline."""
-    planes = [hyperplane(j, dim) for j in range(n_planes)]
-    vb = vectors.withColumn("_bkt", lsh_bucket_expr(F.col(vec_col), planes))
-    qb = queries.select(
-        F.col(query_id_col),
-        F.col(vec_col).alias("_qvec"),
-        lsh_bucket_expr(F.col(vec_col), planes).alias("_bkt"),
+    """Approximate top-k: candidates = vectors sharing ANY band bucket with
+    the query (query side multi-probes all hamming-1 keys per band), refined
+    by exact cosine.  Semantics: a vector is a candidate iff some band's keys
+    are within hamming <= 1 (multi_probe) / == 0 of the query's — which is
+    exactly what the DuckDB oracle replays.  Recall < 1 by design; the
+    accuracy/scale trade-off is asserted against brute force in pytest."""
+    vk = _banded_keys(
+        vectors, vec_col, n_bands, band_bits, dim, carry=[id_col, vec_col]
     )
-    sims = vb.join(F.broadcast(qb), "_bkt").select(
-        query_id_col,
-        id_col,
-        F.round(cosine_expr(F.col(vec_col), F.col("_qvec")), sim_decimals).alias("sim"),
+    qk = _banded_keys(
+        queries.select(F.col(query_id_col), F.col(vec_col).alias("_qvec")),
+        "_qvec", n_bands, band_bits, dim,
+        carry=[query_id_col, "_qvec"], multi_probe=multi_probe,
+    )
+    sims = (
+        vk.join(F.broadcast(qk), ["band", "key"])
+        .select(
+            query_id_col,
+            id_col,
+            F.round(
+                cosine_expr(F.col(vec_col), F.col("_qvec")), sim_decimals
+            ).alias("sim"),
+        )
+        .distinct()  # a pair matched in several bands has one (identical) sim
     )
     w = Window.partitionBy(query_id_col).orderBy(
         F.col("sim").desc(), F.col(id_col).asc()
@@ -147,32 +210,46 @@ def lsh_ann_topk(
 def embedding_neardup_pairs(
     vectors: DataFrame,
     threshold: float = 0.95,
-    n_planes: int = 8,
+    n_bands: int = 4,
+    band_bits: int = 8,
     dim: int = 64,
+    bucket_cap: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     sim_decimals: int = 4,
 ) -> DataFrame:
     """(id_a, id_b, sim): embedding near-duplicates with cosine >= threshold,
-    candidates blocked by LSH bucket (near-identical vectors share all sign
-    bits with high probability)."""
-    planes = [hyperplane(j, dim) for j in range(n_planes)]
-    vb = vectors.select(
-        F.col(id_col), F.col(vec_col), lsh_bucket_expr(F.col(vec_col), planes).alias("_bkt")
+    candidates = pairs sharing any band bucket (union over ``n_bands``
+    independent bands — much higher recall than one fixed bucket key, and
+    per-bucket joins stay sub-quadratic because band_bits scales the bucket
+    count with the corpus).  ``bucket_cap`` drops buckets holding more than
+    that many vectors before the self-join — a degenerate hot bucket (e.g.
+    all-zero vectors) would otherwise produce a quadratic reducer; the cap is
+    deterministic so the oracle replays it."""
+    vk = _banded_keys(vectors, vec_col, n_bands, band_bits, dim,
+                      carry=[id_col, vec_col])
+    if bucket_cap is not None:
+        sizes = (
+            vk.groupBy("band", "key")
+            .agg(F.count(F.lit(1)).alias("_bsz"))
+            .where(F.col("_bsz") <= bucket_cap)
+            .select("band", "key")
+        )
+        vk = vk.join(sizes, ["band", "key"])
+    a = vk.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"), "band", "key"
     )
-    a = vb.select(
-        F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"), "_bkt"
-    )
-    b = vb.select(
-        F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"), "_bkt"
+    b = vk.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"), "band", "key"
     )
     return (
-        a.join(b, "_bkt")
+        a.join(b, ["band", "key"])
         .where(F.col("id_a") < F.col("id_b"))
         .select(
             "id_a",
             "id_b",
             F.round(cosine_expr(F.col("_va"), F.col("_vb")), sim_decimals).alias("sim"),
         )
+        .distinct()
         .where(F.col("sim") >= threshold)
     )

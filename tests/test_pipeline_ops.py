@@ -56,7 +56,9 @@ def test_ann_recall_vs_bruteforce(spark):
         F.col("vec_id").alias("query_id"), "embedding"
     )
     exact = sim.brute_force_topk(embs, queries, k=3).toPandas()
-    ann = sim.lsh_ann_topk(embs, queries, k=3, n_planes=4).toPandas()
+    ann = sim.lsh_ann_topk(
+        embs, queries, k=3, n_bands=2, band_bits=4, multi_probe=True
+    ).toPandas()
     # every ANN hit must be a real vector with correctly computed similarity;
     # top-1 self-match must always be found (query is in its own bucket)
     self_hits = ann[(ann["rank"] == 1)]
@@ -125,3 +127,40 @@ def test_simhash_pigeonhole_complete_recall(spark):
     # at least one found pair must differ in a top-8 bit (would be missed by
     # high-byte blocking) for the test to be non-vacuous
     assert any((int(sigs[a]) ^ int(sigs[b])) >> (bits - 8) != 0 for a, b in got)
+
+
+def test_banded_lsh_recall_at_scale(spark):
+    """10^5 clustered vectors: banded multi-probe LSH with band_bits scaled
+    ~log2(n) must recover >= 0.9 of the exact top-k neighbors — the recall
+    target the single-fixed-bucket scheme could not meet."""
+    rng = np.random.default_rng(7)
+    n_clusters, per, dim = 1000, 100, 16
+    centers = rng.normal(size=(n_clusters, dim))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    vecs = np.repeat(centers, per, axis=0) + rng.normal(
+        scale=0.08, size=(n_clusters * per, dim)
+    )
+    pdf = pd.DataFrame(
+        {
+            "vec_id": np.arange(n_clusters * per),
+            "embedding": [row.astype(np.float32).tolist() for row in vecs],
+        }
+    )
+    embs = spark.createDataFrame(pdf).repartition(8)
+    n_q, k = 15, 10
+    queries = embs.where(
+        (F.col("vec_id") % per == 0) & (F.col("vec_id") < n_q * per)
+    ).select(F.col("vec_id").alias("query_id"), "embedding")
+    exact = sim.brute_force_topk(embs, queries, k=k).toPandas()
+    band_bits = sim.auto_band_bits(n_clusters * per, target_bucket_size=128)
+    assert band_bits == 10  # the scale knob actually scaled
+    ann = sim.lsh_ann_topk(
+        embs, queries, k=k, n_bands=8, band_bits=band_bits, dim=dim,
+        multi_probe=True,
+    ).toPandas()
+    exact_sets = exact.groupby("query_id")["vec_id"].apply(set)
+    ann_sets = ann.groupby("query_id")["vec_id"].apply(set)
+    recall = np.mean(
+        [len(exact_sets[q] & ann_sets.get(q, set())) / k for q in exact_sets.index]
+    )
+    assert recall >= 0.9, f"recall {recall:.3f}"
