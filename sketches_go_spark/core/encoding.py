@@ -188,8 +188,10 @@ def varfloat64_size(v: float) -> int:
 
 # -------------------------------------------------------------- store framing
 def _encode_store(out: bytearray, ftype: int, idx: np.ndarray, cnt: np.ndarray) -> None:
-    """Pick the cheaper of dense / sparse bin encoding
-    (dense_store.go:278-311 size heuristic)."""
+    """Pick the cheapest of the three bin encodings (flag.go:88-127): sparse
+    deltas+counts, dense contiguous counts (dense_store.go:278-311 size
+    heuristic), or pure index-deltas — one varint per unit occurrence, the
+    winner for the common all-counts-1 sketch."""
     if idx.size == 0:
         return
     lo, hi = int(idx[0]), int(idx[-1])
@@ -203,7 +205,8 @@ def _encode_store(out: bytearray, ftype: int, idx: np.ndarray, cnt: np.ndarray) 
 
     # a dense frame spends >=1 byte per bucket in the span; don't even price
     # it when the span dwarfs the bin count
-    use_dense = False
+    dense_size = None
+    dense = None
     if span <= 4 * idx.size + 64:
         dense = np.zeros(span, dtype=np.float64)
         dense[idx - lo] = cnt
@@ -211,9 +214,35 @@ def _encode_store(out: bytearray, ftype: int, idx: np.ndarray, cnt: np.ndarray) 
             uvarint64_size(span) + varint64_size(lo) + varint64_size(1)
             + sum(varfloat64_size(float(c)) for c in dense)
         )
-        use_dense = dense_size <= sparse_size
 
-    if use_dense:
+    # index-deltas: only valid for exactly-integral counts; each repeat of a
+    # bucket beyond the first costs 1 byte (a zero delta), so only price it
+    # when the total count stays close to the bin count
+    deltas_size = None
+    total = float(cnt.sum())
+    if (
+        total <= 2 * idx.size + 64
+        and np.all(cnt == np.rint(cnt))
+        and np.all(cnt >= 1)
+    ):
+        deltas_size = uvarint64_size(int(total))
+        prev = 0
+        for j in range(idx.size):
+            deltas_size += varint64_size(int(idx[j]) - prev) + (int(cnt[j]) - 1)
+            prev = int(idx[j])
+
+    use_dense = dense_size is not None and dense_size <= sparse_size
+    best = min(dense_size if use_dense else sparse_size, sparse_size)
+    if deltas_size is not None and deltas_size < best:
+        out.append(_flag(ftype, BIN_ENCODING_INDEX_DELTAS))
+        encode_uvarint64(out, int(total))
+        prev = 0
+        for j in range(idx.size):
+            encode_varint64(out, int(idx[j]) - prev)
+            for _ in range(int(cnt[j]) - 1):
+                encode_varint64(out, 0)
+            prev = int(idx[j])
+    elif use_dense:
         out.append(_flag(ftype, BIN_ENCODING_CONTIGUOUS_COUNTS))
         encode_uvarint64(out, span)
         encode_varint64(out, lo)

@@ -674,21 +674,51 @@ def sketch_to_bins(
     kcols = list(keys)
 
     def explode_bins(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # vectorized: per batch, gather each sketch's bin arrays and emit ONE
+        # np.concatenate/np.repeat-built frame (no per-bin python tuples)
         for pdf in batches:
-            rows: list[tuple] = []
+            row_ids: list[int] = []
+            sizes: list[int] = []
+            signs: list[np.ndarray] = []
+            buckets: list[np.ndarray] = []
+            counts: list[np.ndarray] = []
             for i in range(len(pdf)):
                 blob = pdf[sketch_col].iloc[i]
                 if blob is None:
                     continue
-                kvals = tuple(pdf[k].iloc[i] for k in kcols)
                 s = decode_sketch(bytes(blob))
-                for idx, cnt in zip(s.pos_idx, s.pos_cnt):
-                    rows.append((*kvals, 1, int(idx), float(cnt)))
-                for idx, cnt in zip(s.neg_idx, s.neg_cnt):
-                    rows.append((*kvals, -1, int(idx), float(cnt)))
-                if s.zero_count:
-                    rows.append((*kvals, 0, 0, float(s.zero_count)))
-            if rows:
-                yield pd.DataFrame(rows, columns=kcols + ["sign", "bucket", "count"])
+                nz = 1 if s.zero_count else 0
+                total = s.pos_idx.size + s.neg_idx.size + nz
+                if total == 0:
+                    continue
+                signs.append(
+                    np.concatenate(
+                        [
+                            np.ones(s.pos_idx.size, dtype=np.int32),
+                            np.full(s.neg_idx.size, -1, dtype=np.int32),
+                            np.zeros(nz, dtype=np.int32),
+                        ]
+                    )
+                )
+                buckets.append(
+                    np.concatenate(
+                        [s.pos_idx, s.neg_idx, np.zeros(nz, dtype=np.int64)]
+                    ).astype(np.int32)
+                )
+                counts.append(
+                    np.concatenate(
+                        [s.pos_cnt, s.neg_cnt, np.full(nz, float(s.zero_count))]
+                    )
+                )
+                row_ids.append(i)
+                sizes.append(total)
+            if not sizes:
+                continue
+            rep = np.repeat(np.asarray(row_ids), np.asarray(sizes))
+            out = pd.DataFrame({k: pdf[k].to_numpy()[rep] for k in kcols})
+            out["sign"] = np.concatenate(signs)
+            out["bucket"] = np.concatenate(buckets)
+            out["count"] = np.concatenate(counts)
+            yield out
 
     return sketches.mapInPandas(explode_bins, schema=out_schema)

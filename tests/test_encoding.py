@@ -192,3 +192,85 @@ def test_dense_vs_sparse_choice():
         assert np.allclose(s2.pos_cnt, s.pos_cnt)
     # sanity: the scattered encoding is far smaller than a dense frame would be
     assert len(enc.encode_sketch(scattered)) < 400
+
+
+def test_index_deltas_chosen_for_unit_counts():
+    """All-counts-1 sketches (the common case) must now serialize with
+    BIN_ENCODING_INDEX_DELTAS — strictly smaller than deltas+counts, since
+    the per-bin varfloat(1.0) byte disappears (flag.go:88-127 grammar)."""
+    s = DDSketch.from_values(np.logspace(-30, 30, 20))
+    assert np.all(s.pos_cnt == 1.0)
+    blob = enc.encode_sketch(s, omit_index_mapping=True, include_exact_stats=False)
+    # first block is the positive store: flag = POSITIVE_STORE | (2 << 2)
+    assert blob[0] == (enc.FLAG_TYPE_POSITIVE_STORE | (enc.BIN_ENCODING_INDEX_DELTAS << 2))
+    sparse = bytearray()
+    enc.encode_uvarint64(sparse, 20)  # what deltas+counts would have cost
+    prev = 0
+    for j in range(20):
+        enc.encode_varint64(sparse, int(s.pos_idx[j]) - prev)
+        enc.encode_varfloat64(sparse, 1.0)
+        prev = int(s.pos_idx[j])
+    assert len(blob) - 1 < len(sparse)
+    s2 = enc.decode_sketch(blob, mapping=s.mapping)
+    assert np.array_equal(s2.pos_idx, s.pos_idx)
+    assert np.allclose(s2.pos_cnt, s.pos_cnt)
+
+
+def _f64(x: float) -> bytes:
+    import struct
+
+    return struct.pack("<d", x)
+
+
+def test_golden_blob_hand_assembled():
+    """Decode a full sketch blob hand-assembled byte-for-byte from the
+    reference wire grammar (flag.go:32-128, encoding.go:36-208,
+    ddsketch_test.go:869-894 round-trip matrix) — NOT produced by our
+    encoder, so decode compatibility is not self-certified.
+
+    Layout: [log mapping gamma=2.0 offset=0.0][zero count 2.0]
+            [positive store, INDEX_DELTAS: occurrences at buckets 5,5,7]
+            [negative store, CONTIGUOUS: offset 2, counts 1.0, 0.0, 2.5]
+    """
+    blob = (
+        b"\x02" + _f64(2.0) + _f64(0.0)  # mapping: type 10, subflag 0 (log)
+        + b"\x04\x03"                      # zero count: varfloat(2.0) = 0x03
+        + b"\x09"                          # pos store flag: 0b01 | 2<<2
+        + b"\x03"                          # uvarint total occurrences = 3
+        + b"\x0a\x00\x04"                  # zigzag deltas: +5, +0, +2
+        + b"\x0f"                          # neg store flag: 0b11 | 3<<2
+        + b"\x03"                          # uvarint span = 3
+        + b"\x04"                          # zigzag offset = 2
+        + b"\x02"                          # zigzag index delta = 1
+        + b"\x02\x00\x83\x40"              # varfloats 1.0, 0.0, 2.5
+    )
+    s = enc.decode_sketch(bytes(blob))
+    assert s.mapping.gamma == 2.0
+    assert s.zero_count == 2.0
+    assert np.array_equal(s.pos_idx, [5, 7])
+    assert np.allclose(s.pos_cnt, [2.0, 1.0])
+    assert np.array_equal(s.neg_idx, [2, 4])  # zero-count bucket 3 dropped
+    assert np.allclose(s.neg_cnt, [1.0, 2.5])
+    assert s.count == pytest.approx(8.5)
+    # round-trip through OUR encoder must preserve every bin
+    s2 = enc.decode_sketch(enc.encode_sketch(s))
+    assert np.array_equal(s2.pos_idx, s.pos_idx) and np.allclose(s2.pos_cnt, s.pos_cnt)
+    assert np.array_equal(s2.neg_idx, s.neg_idx) and np.allclose(s2.neg_cnt, s.neg_cnt)
+    assert s2.zero_count == s.zero_count
+
+
+def test_golden_blob_decode_is_merge():
+    """A blob holding TWO positive store blocks (one sparse deltas+counts,
+    one index-deltas) plus two zero-count blocks decodes to their SUM —
+    the additive flag loop of ddsketch.go:415-475."""
+    blob = (
+        b"\x02" + _f64(2.0) + _f64(0.0)
+        + b"\x04\x02"              # zero count 1.0 (varfloat(1.0) = 0x02)
+        + b"\x05\x01\x06\x03"      # pos sparse: 1 bin, delta +3, count 2.0
+        + b"\x09\x02\x06\x00"      # pos index-deltas: occurrences at 3, 3
+        + b"\x04\x03"              # zero count 2.0 -> totals 3.0
+    )
+    s = enc.decode_sketch(bytes(blob))
+    assert np.array_equal(s.pos_idx, [3])
+    assert np.allclose(s.pos_cnt, [4.0])  # 2.0 + two unit occurrences
+    assert s.zero_count == pytest.approx(3.0)
