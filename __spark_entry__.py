@@ -142,6 +142,36 @@ def q_ddsketch_collapsed_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("tool", "sign", "bucket")
 
 
+def q_ddsketch_collapsed_highest_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collapsing-HIGHEST store (max_bins=32) over latencies — the mirror
+    bounded-memory semantics (collapsing_highest_dense_store.go), relationally."""
+    cfg = DDSketchConfig(alpha=ALPHA, max_bins=32, collapse="highest")
+    bins = dd.build_bins(_latency_by_tool(spark, sf_dir), "v", ["tool"], cfg)
+    return bins.select(
+        "tool", "sign", "bucket", F.col("count").alias("cnt")
+    ).orderBy("tool", "sign", "bucket")
+
+
+_WEIGHTED_EVENT_MEASURE_SQL = (
+    "SELECT event_type, cast(value AS double) AS v,"
+    " cast(((user_id % 5) + 5) % 5 + 1 AS double) AS w FROM events"
+)
+
+
+def q_ddsketch_weighted_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted build (AddWithCount, ddsketch.go:124-145): per-row weight
+    (user_id mod 5) + 1 summed into the bins instead of unit counts."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_type",
+        F.col("value").cast("double").alias("v"),
+        (F.pmod("user_id", F.lit(5)) + 1).cast("double").alias("w"),
+    )
+    bins = dd.build_bins(ev, "v", ["event_type"], CFG, weight_col="w")
+    return bins.select(
+        "event_type", "sign", "bucket", F.col("count").alias("cnt")
+    ).orderBy("event_type", "sign", "bucket")
+
+
 def _text_len_by_role_tool(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = transcripts_from_events(spark, sf_dir)
     return t.select(
@@ -603,6 +633,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ddsketch_summary_by_role": q_ddsketch_summary_by_role,
         "ddsketch_udaf_textlen_by_role": q_ddsketch_udaf_textlen_by_role,
         "ddsketch_collapsed_bins": q_ddsketch_collapsed_bins,
+        "ddsketch_collapsed_highest_bins": q_ddsketch_collapsed_highest_bins,
+        "ddsketch_weighted_bins": q_ddsketch_weighted_bins,
         "hll_registers_convs_by_role": q_hll_registers_convs_by_role,
         "hll_distinct_convs_by_role": q_hll_distinct_convs_by_role,
         "hll_udaf_distinct_by_role": q_hll_udaf_distinct_by_role,
@@ -634,6 +666,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     collapsed_cfg = DDSketchConfig(alpha=ALPHA, max_bins=32, collapse="lowest")
+    collapsed_highest_cfg = DDSketchConfig(alpha=ALPHA, max_bins=32, collapse="highest")
     return {
         "ddsketch_quantiles_value_by_event_type": oracles.ddsketch_quantiles_sql(
             _EVENT_VALUE_MEASURE_SQL, ["event_type"], QS, CFG,
@@ -663,6 +696,22 @@ def oracle_sql() -> dict[str, str]:
             + oracles.ddsketch_bins_sql(_LATENCY_MEASURE_SQL, ["tool"], collapsed_cfg)
             + "\nSELECT tool, sign, bucket, count AS cnt FROM sgs_bins"
             " ORDER BY tool, sign, bucket"
+        ),
+        "ddsketch_collapsed_highest_bins": (
+            "WITH "
+            + oracles.ddsketch_bins_sql(
+                _LATENCY_MEASURE_SQL, ["tool"], collapsed_highest_cfg
+            )
+            + "\nSELECT tool, sign, bucket, count AS cnt FROM sgs_bins"
+            " ORDER BY tool, sign, bucket"
+        ),
+        "ddsketch_weighted_bins": (
+            "WITH "
+            + oracles.ddsketch_bins_sql(
+                _WEIGHTED_EVENT_MEASURE_SQL, ["event_type"], CFG, weight_expr="w"
+            )
+            + "\nSELECT event_type, sign, bucket, count AS cnt FROM sgs_bins"
+            " ORDER BY event_type, sign, bucket"
         ),
         "hll_registers_convs_by_role": oracles.hll_registers_sql(
             _CONV_BY_ROLE_SQL, ["role"], p=HLL_P
