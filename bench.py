@@ -21,6 +21,37 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 # 10M amortizes the ~2s fixed job overhead that dominated at 5M — the
 # headline turns_per_sec then reflects pipeline capacity, not job setup
 SYNTH_TURNS = int(os.environ.get("SGS_BENCH_SYNTH_TURNS", "10000000"))
+# two-parallelism scaling evidence (fresh JVM per level, after the main
+# session stops); disable with SGS_BENCH_SCALING=0 for quick local loops.
+# 100M turns matches the BASELINE.md protocol — smaller jobs are fixed-
+# overhead-dominated and understate scaling
+SCALING = os.environ.get("SGS_BENCH_SCALING", "1") == "1"
+SCALING_TURNS = int(os.environ.get("SGS_BENCH_SCALING_TURNS", "100000000"))
+
+
+def _prev_bench() -> dict:
+    """Newest BENCH_r*.json in the repo — for machine-checkable per-query
+    deltas round over round."""
+    import glob
+    import re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    best: tuple[int, str] | None = None
+    for path in glob.glob(os.path.join(here, "BENCH_r*.json")):
+        m = re.search(r"BENCH_r(\d+)\.json$", path)
+        if m:
+            r = int(m.group(1))
+            if best is None or r > best[0]:
+                best = (r, path)
+    if best is None:
+        return {}
+    try:
+        with open(best[1]) as f:
+            rec = json.load(f)
+        parsed = rec.get("parsed", rec)
+        return {"round": best[0], "queries": parsed.get("queries", {})}
+    except Exception:
+        return {}
 
 
 def main() -> None:
@@ -81,9 +112,10 @@ def main() -> None:
         ).parquet(cache)
     synth = spark.read.parquet(cache)
 
-    # synthetic stages: best of 2 — this host shows intermittent multi-x
-    # interference and the estimator of uncontended capacity is min
-    # (BASELINE.md measurement protocol); interference only slows runs down
+    # synthetic stages: best of N (3 for the headline relational stage,
+    # 2 for the others) — this host shows intermittent multi-x interference
+    # and the estimator of uncontended capacity is min (BASELINE.md
+    # measurement protocol); interference only slows runs down
     def best_of(n_runs: int, mk) -> float:
         best = float("inf")
         for _ in range(n_runs):
@@ -125,11 +157,45 @@ def main() -> None:
         3,
     )
 
+    # composite of per-query best-case timings (min-of-N for the synthetic
+    # stages, single-shot for the sf queries) — a best-case estimate, not an
+    # actual wall time
     total = round(sum(timings.values()), 3)
+    spark.stop()
+
+    prev = _prev_bench()
+    delta_vs_prev = None
+    if prev:
+        delta_vs_prev = {
+            name: round(t - prev["queries"][name], 3)
+            for name, t in timings.items()
+            if name in prev["queries"]
+        }
+
+    scaling = None
+    if SCALING:
+        # fresh JVM per level (the main session above is stopped) — the same
+        # relational sketch job at local[8] vs local[32], evidencing the
+        # north rule's N -> 4N criterion; full protocol in scaling_bench.py
+        import scaling_bench as sb
+
+        cache2 = sb.materialize(SCALING_TURNS)
+        low = sb.measure(8, cache2, SCALING_TURNS, reps=3)
+        high = sb.measure(32, cache2, SCALING_TURNS, reps=3)
+        speedup = low["best_sec"] / high["best_sec"]
+        scaling = {
+            "turns": SCALING_TURNS,
+            "local8_turns_per_sec": low["turns_per_sec"],
+            "local32_turns_per_sec": high["turns_per_sec"],
+            "speedup_8_to_32": round(speedup, 3),
+            "efficiency": round(speedup / 4.0, 3),
+            "target": 0.8,
+        }
+
     print(
         json.dumps(
             {
-                "metric": "headline sketch queries wall time (sum)",
+                "metric": "headline sketch queries best-case time (sum of per-query minima)",
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
@@ -137,10 +203,12 @@ def main() -> None:
                 "turns_per_sec": round(turns_per_sec),
                 "synth_turns": SYNTH_TURNS,
                 "cpus": CPUS,
+                "delta_vs_prev_round": delta_vs_prev,
+                "prev_round": prev.get("round"),
+                "scaling": scaling,
             }
         )
     )
-    spark.stop()
 
 
 if __name__ == "__main__":
