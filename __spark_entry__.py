@@ -132,6 +132,21 @@ def q_ddsketch_udaf_textlen_by_role(spark: SparkSession, sf_dir: str) -> DataFra
     return out.select("role", "cnt", "p50", "p95", "p99").orderBy("role")
 
 
+def q_ddsketch_proto_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Protobuf interop: the UDAF sketches converted to pb.DDSketch bytes and
+    back (core/protobuf.py), then queried — quantiles and count must be
+    unchanged, so the oracle is the same algorithm replay as the UDAF query.
+    Exercises ToProto/FromProto (ddsketch.go:313-364) end to end on Spark."""
+    from sketches_go_spark.functions import proto_fns
+
+    sketches = dd.ddsketch_agg(_text_len_by_role(spark, sf_dir), "v", ["role"], CFG)
+    back = sketches.select(
+        "role", proto_fns.from_proto(proto_fns.to_proto(F.col("sketch"))).alias("sketch")
+    )
+    out = dd.with_summary(dd.with_quantiles(back, QS, prefix="p"))
+    return out.select("role", "cnt", "p50", "p95", "p99").orderBy("role")
+
+
 def q_ddsketch_collapsed_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Collapsing-lowest store (max_bins=32) over latencies — bounded-memory
     semantics, relationally."""
@@ -632,6 +647,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ddsketch_bins_histogram": q_ddsketch_bins_histogram,
         "ddsketch_summary_by_role": q_ddsketch_summary_by_role,
         "ddsketch_udaf_textlen_by_role": q_ddsketch_udaf_textlen_by_role,
+        "ddsketch_proto_roundtrip": q_ddsketch_proto_roundtrip,
         "ddsketch_collapsed_bins": q_ddsketch_collapsed_bins,
         "ddsketch_collapsed_highest_bins": q_ddsketch_collapsed_highest_bins,
         "ddsketch_weighted_bins": q_ddsketch_weighted_bins,
@@ -689,6 +705,10 @@ def oracle_sql() -> dict[str, str]:
         )
         + " ORDER BY role",
         "ddsketch_udaf_textlen_by_role": oracles.ddsketch_quantiles_sql(
+            _TEXT_LEN_MEASURE_SQL, ["role"], QS, CFG, pivot=PIVOT, order_by="role"
+        ),
+        # proto round-trip preserves bins exactly -> identical oracle
+        "ddsketch_proto_roundtrip": oracles.ddsketch_quantiles_sql(
             _TEXT_LEN_MEASURE_SQL, ["role"], QS, CFG, pivot=PIVOT, order_by="role"
         ),
         "ddsketch_collapsed_bins": (
