@@ -26,3 +26,12 @@ from sketches_go_spark.core.mapping import (  # noqa: F401
     mapping_from_params,
 )
 from sketches_go_spark.core.ddsketch import DDSketch, DDSketchConfig  # noqa: F401
+from sketches_go_spark.core.encoding import (  # noqa: F401
+    decode_sketch,
+    encode_sketch,
+)
+from sketches_go_spark.core.protobuf import (  # noqa: F401
+    DDSketchProtoBuilder,
+    decode_proto,
+    encode_proto,
+)
