@@ -142,3 +142,22 @@ def test_sketch_to_bins_bridge(spark, sdf, data):
         rel_direct.reset_index(drop=True),
         check_dtype=False,
     )
+
+
+def test_companion_udaf_plans_have_no_per_group_python(spark, sdf):
+    """The companion-sketch UDAF paths must use the streaming merge topology:
+    no FlatMapGroupsInPandas (per-group applyInPandas) anywhere — its ~1 ms
+    per-group invocation dominates at 10^5+ keys."""
+    from sketches_go_spark.functions import sketch_fns as skf
+
+    plans = {
+        "hll": skf.hll_agg(sdf.withColumn("item", F.col("v").cast("string")),
+                           "item", ["g"], p=6),
+        "kll": skf.kll_agg(sdf, "v", ["g"], k=50),
+        "tdigest": skf.tdigest_agg(sdf, "v", ["g"], delta=50.0),
+    }
+    for name, df in plans.items():
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "FlatMapGroupsInPandas" not in plan, name
+        # exactly the two mapInPandas stages: partial build + streaming merge
+        assert plan.count("MapInPandas") == 2, name
