@@ -44,14 +44,21 @@ spark.sparkContext.setLogLevel("ERROR")
 t = spark.read.parquet({cache!r})
 cfg = DDSketchConfig(alpha=0.01)
 measure = ((F.unix_micros(F.col("ts").cast("timestamp")) % 100000) + 1).cast("double")
+job_kind = {job!r}
 
 def job():
     src = t.select("role", "tool", measure.alias("v"))
+    if job_kind == "udaf":
+        # CPU-bound per byte: Arrow transfer + vectorized numpy partial build
+        # + encode + streaming merge (the python-path operator profile)
+        return dd.with_quantiles(
+            dd.ddsketch_agg(src, "v", ["role", "tool"], cfg), (0.5, 0.95, 0.99)
+        ).count()
     return dd.ddsketch_quantiles_relational(
         src, "v", ["role", "tool"], (0.5, 0.95, 0.99), cfg
     ).count()
 
-job()  # warm-up (codegen + page cache)
+job()  # warm-up (codegen + page cache + python worker pool)
 times = []
 for _ in range({reps}):
     t0 = time.perf_counter()
@@ -87,8 +94,8 @@ spark.stop()
     return cache
 
 
-def measure(cores: int, cache: str, turns: int, reps: int) -> dict:
-    code = _RUNNER.format(repo=REPO, cores=cores, cache=cache, reps=reps)
+def measure(cores: int, cache: str, turns: int, reps: int, job: str = "relational") -> dict:
+    code = _RUNNER.format(repo=REPO, cores=cores, cache=cache, reps=reps, job=job)
     env = dict(os.environ)
     env["SPARK_DRIVER_MEM"] = f"{8 + 2 * cores}g"
     out = subprocess.run(
@@ -112,15 +119,21 @@ def main() -> None:
     ap.add_argument("--low", type=int, default=8)
     ap.add_argument("--high", type=int, default=32)
     ap.add_argument("--reps", type=int, default=5)
+    ap.add_argument("--job", choices=["relational", "udaf"], default="relational",
+                    help="relational: parquet-scan-bound (bandwidth-limited on "
+                         "ONE box); udaf: CPU-bound python path (isolates core "
+                         "scaling from the shared memory bus)")
+    ap.add_argument("--no-stamp", action="store_true",
+                    help="don't append the result table to BASELINE.md")
     args = ap.parse_args()
 
     cache = materialize(args.turns)
-    low = measure(args.low, cache, args.turns, args.reps)
-    high = measure(args.high, cache, args.turns, args.reps)
+    low = measure(args.low, cache, args.turns, args.reps, args.job)
+    high = measure(args.high, cache, args.turns, args.reps, args.job)
     speedup = low["best_sec"] / high["best_sec"]
     efficiency = speedup / (args.high / args.low)
     result = {
-        "job": "ddsketch_quantiles_relational p50/p95/p99 by (role, tool), 100M-turn numeric transcripts",
+        "job": f"ddsketch {args.job} p50/p95/p99 by (role, tool), synthetic numeric transcripts",
         "turns": args.turns,
         "low": low,
         "high": high,
@@ -130,8 +143,10 @@ def main() -> None:
     }
     print(json.dumps(result))
 
+    if args.no_stamp:
+        return
     stamp = (
-        f"\n## Measured scaling run (scaling_bench.py, {args.turns:,} synthetic turns)\n\n"
+        f"\n## Measured scaling run (scaling_bench.py --job {args.job}, {args.turns:,} synthetic turns)\n\n"
         f"| parallelism | best sec (of {args.reps}, after warm-up) | turns/sec |\n|---|---|---|\n"
         f"| local[{args.low}] | {low['best_sec']} | {low['turns_per_sec']:,} |\n"
         f"| local[{args.high}] | {high['best_sec']} | {high['turns_per_sec']:,} |\n\n"
