@@ -83,6 +83,11 @@ def _r_varint(b: memoryview, pos: int) -> tuple[int, int]:
             raise ProtoDecodingError("varint too long")
 
 
+def _need(b: memoryview, pos: int, n: int) -> None:
+    if pos + n > len(b):
+        raise ProtoDecodingError("truncated message")
+
+
 def _zigzag32(v: int) -> int:
     return ((v << 1) ^ (v >> 31)) & 0xFFFFFFFF
 
@@ -112,11 +117,14 @@ def _skip(b: memoryview, pos: int, wtype: int) -> int:
         _, pos = _r_varint(b, pos)
         return pos
     if wtype == _WT_FIXED64:
+        _need(b, pos, 8)
         return pos + 8
     if wtype == _WT_LEN:
         n, pos = _r_varint(b, pos)
+        _need(b, pos, n)
         return pos + n
     if wtype == _WT_FIXED32:
+        _need(b, pos, 4)
         return pos + 4
     raise ProtoDecodingError(f"unknown wire type {wtype}")
 
@@ -195,9 +203,11 @@ def _parse_mapping(b: memoryview) -> tuple[float, float, int]:
         tag, pos = _r_varint(b, pos)
         field, wtype = tag >> 3, tag & 7
         if field == 1 and wtype == _WT_FIXED64:
+            _need(b, pos, 8)
             gamma = struct.unpack_from("<d", b, pos)[0]
             pos += 8
         elif field == 2 and wtype == _WT_FIXED64:
+            _need(b, pos, 8)
             offset = struct.unpack_from("<d", b, pos)[0]
             pos += 8
         elif field == 3 and wtype == _WT_VARINT:
@@ -216,6 +226,7 @@ def _parse_store_into(bins: dict[int, float], b: memoryview) -> None:
         field, wtype = tag >> 3, tag & 7
         if field == 1 and wtype == _WT_LEN:  # one map entry
             n, pos = _r_varint(b, pos)
+            _need(b, pos, n)
             entry = b[pos : pos + n]
             pos += n
             key = 0
@@ -228,6 +239,7 @@ def _parse_store_into(bins: dict[int, float], b: memoryview) -> None:
                     u, ep = _r_varint(entry, ep)
                     key = _unzigzag(u)
                 elif ef == 2 and ew == _WT_FIXED64:
+                    _need(entry, ep, 8)
                     val = struct.unpack_from("<d", entry, ep)[0]
                     ep += 8
                 else:
@@ -236,6 +248,7 @@ def _parse_store_into(bins: dict[int, float], b: memoryview) -> None:
                 bins[key] = bins.get(key, 0.0) + val
         elif field == 2 and wtype == _WT_LEN:  # packed doubles
             n, pos = _r_varint(b, pos)
+            _need(b, pos, n)
             if n % 8:
                 raise ProtoDecodingError("packed double payload not 8-aligned")
             contiguous.extend(
@@ -243,6 +256,7 @@ def _parse_store_into(bins: dict[int, float], b: memoryview) -> None:
             )
             pos += n
         elif field == 2 and wtype == _WT_FIXED64:  # unpacked repeated double
+            _need(b, pos, 8)
             contiguous.append(struct.unpack_from("<d", b, pos)[0])
             pos += 8
         elif field == 3 and wtype == _WT_VARINT:
@@ -271,28 +285,45 @@ def decode_proto(data: bytes, config: DDSketchConfig | None = None) -> DDSketch:
         field, wtype = tag >> 3, tag & 7
         if field == 1 and wtype == _WT_LEN:
             n, pos = _r_varint(b, pos)
+            _need(b, pos, n)
             gamma, offset, interp_enum = _parse_mapping(b[pos : pos + n])
             pos += n
         elif field == 2 and wtype == _WT_LEN:
             n, pos = _r_varint(b, pos)
+            _need(b, pos, n)
             _parse_store_into(pos_bins, b[pos : pos + n])
             pos += n
         elif field == 3 and wtype == _WT_LEN:
             n, pos = _r_varint(b, pos)
+            _need(b, pos, n)
             _parse_store_into(neg_bins, b[pos : pos + n])
             pos += n
         elif field == 4 and wtype == _WT_FIXED64:
             # proto3 scalar merge: last occurrence wins (what any protobuf
             # library parser would produce), unlike the additive binary codec
+            _need(b, pos, 8)
             zero_count = struct.unpack_from("<d", b, pos)[0]
             pos += 8
         else:
             pos = _skip(b, pos, wtype)
 
-    if gamma is None or gamma <= 1.0:
+    import math
+
+    if gamma is None or not (gamma > 1.0) or not math.isfinite(gamma):
         raise ProtoDecodingError("missing or invalid index mapping")
+    if offset is not None and not math.isfinite(offset):
+        raise ProtoDecodingError("non-finite index offset")
     if interp_enum not in _ENUM_TO_INTERP:
         raise ProtoDecodingError(f"unsupported interpolation enum {interp_enum}")
+    # semantic validation mirroring the reference's AddBin/zero-count checks:
+    # counts must be finite and non-negative (negative counts are rejected by
+    # store.AddBin in sketches-go)
+    if not math.isfinite(zero_count) or zero_count < 0:
+        raise ProtoDecodingError("invalid zero count")
+    for bins in (pos_bins, neg_bins):
+        for k, c in bins.items():
+            if not math.isfinite(c) or c < 0:
+                raise ProtoDecodingError(f"invalid bin count {c} at index {k}")
     m = mapping_from_params(_ENUM_TO_INTERP[interp_enum], gamma, offset or 0.0)
 
     cfg = config or DDSketchConfig(

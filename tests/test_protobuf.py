@@ -157,3 +157,28 @@ def test_proto_spark_column_roundtrip(spark):
         ).collect()
     }
     assert q1 == q2
+
+
+@pytest.mark.parametrize("seed", range(10))
+def test_proto_decode_mutation_fuzz(seed):
+    """Random byte mutations of a valid pb.DDSketch must either decode to
+    SOME sketch or raise ProtoDecodingError/ValueError — never crash with a
+    raw struct error, hang, or return garbage types."""
+    rng = np.random.default_rng(seed)
+    s = DDSketch.from_values(
+        rng.exponential(2.0, 500), config=DDSketchConfig(alpha=0.02)
+    )
+    blob = bytearray(pb.encode_proto(s))
+    for _ in range(40):
+        b2 = bytearray(blob)
+        for _ in range(int(rng.integers(1, 4))):
+            b2[int(rng.integers(0, len(b2)))] = int(rng.integers(0, 256))
+        # also try random truncation
+        if rng.random() < 0.3:
+            b2 = b2[: int(rng.integers(0, len(b2)))]
+        try:
+            out = pb.decode_proto(bytes(b2))
+        except ValueError:
+            continue  # ProtoDecodingError and mapping validation errors
+        assert isinstance(out, DDSketch)
+        assert out.count >= 0
