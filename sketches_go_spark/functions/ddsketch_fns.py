@@ -355,8 +355,10 @@ def ddsketch_partial(
             .agg(cnt=("cnt", "sum"), s=("s", "sum"), mn=("mn", "min"), mx=("mx", "max"))
         )
         # dict lookups instead of per-group .loc (O(1), matters at 10^5 groups)
+        # keys normalized via _norm_key: pandas emits distinct NaN objects for
+        # null group keys, and NaN-keyed dict lookups miss (nan != nan)
         stats_d = {
-            idx: (r.cnt, r.s, r.mn, r.mx)
+            _norm_key(idx if isinstance(idx, tuple) else (idx,)): (r.cnt, r.s, r.mn, r.mx)
             for idx, r in zip(stats.index, stats.itertuples(index=False))
         }
         rows = []
@@ -373,7 +375,7 @@ def ddsketch_partial(
             sk.neg_idx, sk.neg_cnt = bkt[n], cnt[n]
             sk.zero_count = float(cnt[sgn == 0].sum())
             sk._apply_collapse()
-            st = stats_d[gkey if len(kcols) > 1 else gtuple[0]]
+            st = stats_d[_norm_key(gtuple)]
             sk.exact_count = float(st[0])
             sk.exact_sum = float(st[1])
             sk.exact_min = float(st[2])
@@ -386,6 +388,16 @@ def ddsketch_partial(
 
         build = instrument_map_in_pandas(build, metrics)
     return df.select(*cols).mapInPandas(build, schema=out_schema)
+
+
+def _norm_key(vals) -> tuple:
+    """Run-comparison key: NaN (which never equals itself) normalized to None
+    so a null-keyed group merges into ONE run instead of one row per partial
+    (nulls/NaNs sort together in sortWithinPartitions, so runs ARE contiguous
+    — only the equality check needs the normalization)."""
+    return tuple(
+        None if (isinstance(v, float) and v != v) else v for v in vals
+    )
 
 
 def ddsketch_merge(
@@ -416,7 +428,7 @@ def ddsketch_merge(
                 continue
             key_arrays = [pdf[k].to_numpy() for k in kcols]
             for i, blob in enumerate(pdf["sketch"]):
-                k = tuple(a[i] for a in key_arrays)
+                k = _norm_key(a[i] for a in key_arrays)
                 if k != cur_key:
                     if cur is not None:
                         out_rows.append((*cur_key, encode_sketch(cur)))

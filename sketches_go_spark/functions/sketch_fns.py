@@ -44,6 +44,16 @@ def _col(c: str | Column) -> Column:
 # =====================================================================
 # generic two-phase UDAF template (partial per partition -> merge)
 # =====================================================================
+def _norm_key(vals) -> tuple:
+    """Run-comparison key: NaN (which never equals itself) normalized to None
+    so a null-keyed group merges into ONE run instead of one row per partial
+    (nulls/NaNs sort together in sortWithinPartitions, so runs ARE contiguous
+    — only the equality check needs the normalization)."""
+    return tuple(
+        None if (isinstance(v, float) and v != v) else v for v in vals
+    )
+
+
 def two_phase_agg(
     df: DataFrame,
     cols: Sequence[str],
@@ -119,7 +129,7 @@ def two_phase_agg(
                 continue
             key_arrays = [pdf[k].to_numpy() for k in kcols]
             for i, blob in enumerate(pdf[out_col]):
-                k = tuple(a[i] for a in key_arrays)
+                k = _norm_key(a[i] for a in key_arrays)
                 if k != cur_key:
                     if cur is not None:
                         out_rows.append((*cur_key, cur.to_bytes()))

@@ -155,3 +155,26 @@ def test_two_phase_high_cardinality_bounded_memory(spark):
         assert HyperLogLog.from_bytes(bytes(blob)).estimate() == pytest.approx(
             1.0, abs=0.01
         )
+
+
+def test_null_group_key_merges_to_one_row(spark):
+    """A NULL group key must produce exactly ONE merged sketch row through
+    the streaming merge (NaN never equals itself — the run comparison must
+    normalize it), matching groupBy null semantics."""
+    import pandas as pd
+
+    from sketches_go_spark.functions import ddsketch_fns as dd
+
+    pdf = pd.DataFrame(
+        {
+            "g": ["a", None, None, "a", None, "b"] * 50,
+            "v": [float(i % 7 + 1) for i in range(300)],
+        }
+    )
+    sdf = spark.createDataFrame(pdf).repartition(6)
+    out = dd.ddsketch_agg(sdf, "v", ["g"]).toPandas()
+    assert len(out) == 3  # a, b, NULL — one row each
+    hll = sk.hll_agg(
+        sdf.withColumn("item", F.col("v").cast("string")), "item", ["g"], p=6
+    ).toPandas()
+    assert len(hll) == 3
