@@ -161,3 +161,28 @@ def test_companion_udaf_plans_have_no_per_group_python(spark, sdf):
         assert "FlatMapGroupsInPandas" not in plan, name
         # exactly the two mapInPandas stages: partial build + streaming merge
         assert plan.count("MapInPandas") == 2, name
+
+
+def test_pair_operators_use_equality_joins(spark):
+    """Candidate generation in dedup/similarity must stay equality-join
+    shaped: a CartesianProduct or BroadcastNestedLoopJoin in these plans
+    would be quadratic at corpus scale."""
+    from sketches_go_spark.operators import dedup, similarity as sim
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = embs.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    plans = {
+        "simhash_pairs": dedup.simhash_pairs(docs, bits=16, max_hamming=3),
+        "minhash_lsh": dedup.minhash_lsh_pairs(docs, num_perm=8, band_size=4),
+        "neardup": sim.embedding_neardup_pairs(
+            embs, threshold=0.5, n_bands=2, band_bits=4, bucket_cap=100
+        ),
+        "ann": sim.lsh_ann_topk(embs, queries, k=3, n_bands=2, band_bits=4),
+    }
+    for name, df in plans.items():
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
