@@ -59,7 +59,7 @@ def two_phase_agg(
     cols: Sequence[str],
     keys: Sequence[str],
     make: Callable[[], object],
-    partial_add: Callable[[object, pd.DataFrame], None],
+    partial_add: Callable[[object, dict], None],
     decode: Callable[[bytes], object],
     out_col: str = "sketch",
     strategy: str = "combine",
@@ -86,7 +86,12 @@ def two_phase_agg(
     accumulated that many distinct groups it flushes them as partial rows and
     starts fresh (the merge stage tolerates multiple partials per group), so
     per-task memory is O(flush_groups x sketch size) regardless of key
-    cardinality."""
+    cardinality.
+
+    ``partial_add`` receives a dict of numpy column views for the group's
+    rows (NOT a DataFrame slice): fancy-indexed ndarray views cost ~1-2 us
+    per group where ``pdf.iloc[idx]`` costs ~40 us of block-manager work —
+    a 5-10x build-stage difference at 10^5+ groups per task."""
     key_fields = [df.schema[k] for k in keys]
     out_schema = StructType(list(key_fields) + [StructField(out_col, BinaryType())])
     kcols = list(keys)
@@ -101,14 +106,16 @@ def two_phase_agg(
             ]
             return pd.DataFrame(rows, columns=kcols + [out_col])
 
+        data_cols = [c for c in cols]
         for pdf in batches:
             if pdf.empty:
                 continue
+            arrs = {c: pdf[c].to_numpy() for c in data_cols}
             for gkey, idx in pdf.groupby(kcols, dropna=False, sort=False).indices.items():
                 s = acc.get(gkey)
                 if s is None:
                     s = acc[gkey] = make()
-                partial_add(s, pdf.iloc[idx])
+                partial_add(s, {c: a[idx] for c, a in arrs.items()})
             if len(acc) >= flush_groups:
                 yield drain()
                 acc = {}
@@ -119,6 +126,25 @@ def two_phase_agg(
     if strategy == "repartition":
         src = src.repartition(*kcols)
     partials = src.mapInPandas(build, schema=out_schema)
+    return two_phase_merge(
+        partials, keys, decode, out_col, co_located=(strategy == "repartition")
+    )
+
+
+def two_phase_merge(
+    partials: DataFrame,
+    keys: Sequence[str],
+    decode: Callable[[bytes], object],
+    out_col: str = "sketch",
+    co_located: bool = False,
+) -> DataFrame:
+    """Shared merge stage: shuffle the tiny encoded partials by group key
+    (skipped when ``co_located`` — the build stage already repartitioned the
+    raw rows), sort within partitions, and walk the sorted runs in one
+    streaming mapInPandas pass."""
+    kcols = list(keys)
+    key_fields = [partials.schema[k] for k in kcols]
+    out_schema = StructType(list(key_fields) + [StructField(out_col, BinaryType())])
 
     def merge_stream(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cur_key: tuple | None = None
@@ -145,7 +171,7 @@ def two_phase_agg(
         if out_rows:
             yield pd.DataFrame(out_rows, columns=kcols + [out_col])
 
-    if strategy == "repartition":
+    if co_located:
         # groups are already co-located; only an in-partition sort is needed
         shuffled = partials.sortWithinPartitions(*kcols)
     else:
@@ -216,17 +242,73 @@ def hll_agg(
     flush_groups: int = 50_000,
 ) -> DataFrame:
     """UDAF path: (keys..., sketch:binary) HLL value column.  Hashing happens
-    JVM-side (portable hash) so the Arrow batches carry int64s."""
-    hashed = df.where(_col(item_col).isNotNull()).withColumn(
-        "_h", portable_hash64(_col(item_col))
+    JVM-side (portable hash) so the Arrow batches carry int64s.
+
+    The partial build is fully vectorized: per Arrow batch the (group, reg,
+    rho) relation is reduced with a C-path pandas groupby-max, and python
+    HyperLogLog objects are materialized ONCE per group at partition end —
+    high-cardinality keys (per-conv_id) cost the same per row as one key,
+    the same trick as ddsketch_partial."""
+    kcols = list(keys)
+    hashed = df.where(_col(item_col).isNotNull()).select(
+        *kcols, portable_hash64(_col(item_col)).alias("_h")
     )
+    if strategy == "repartition":
+        hashed = hashed.repartition(*kcols)
+    key_fields = [hashed.schema[k] for k in kcols]
+    out_schema = StructType(list(key_fields) + [StructField("sketch", BinaryType())])
+    m = 1 << p
 
-    def add(sk: HyperLogLog, pdf: pd.DataFrame) -> None:
-        sk.add_hashes(pdf["_h"].to_numpy(dtype=np.int64))
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from sketches_go_spark.core.hashing import bit_length_u64
 
-    return two_phase_agg(
-        hashed, ["_h"], keys, lambda: HyperLogLog(p), add, HyperLogLog.from_bytes,
-        strategy=strategy, flush_groups=flush_groups,
+        reg_parts: list[pd.DataFrame] = []
+        buffered = 0
+
+        def drain() -> pd.DataFrame:
+            regs = (
+                pd.concat(reg_parts, ignore_index=True)
+                .groupby([*kcols, "reg"], dropna=False, sort=False)["rho"]
+                .max()
+                .reset_index()
+            )
+            reg_arr = regs["reg"].to_numpy(dtype=np.int64)
+            rho_arr = regs["rho"].to_numpy(dtype=np.uint8)
+            rows = []
+            for gkey, idx in regs.groupby(kcols, dropna=False, sort=False).indices.items():
+                gtuple = gkey if isinstance(gkey, tuple) else (gkey,)
+                s = HyperLogLog(p)
+                s.registers[reg_arr[idx]] = rho_arr[idx]
+                rows.append((*gtuple, s.to_bytes()))
+            return pd.DataFrame(rows, columns=kcols + ["sketch"])
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            h = pdf["_h"].to_numpy(dtype=np.int64)
+            frame = pd.DataFrame({k: pdf[k].to_numpy() for k in kcols})
+            frame["reg"] = h % m
+            frame["rho"] = (
+                (HASH_BITS - p) + 1 - bit_length_u64(h >> p)
+            ).astype(np.uint8)
+            part = (
+                frame.groupby([*kcols, "reg"], sort=False, dropna=False)["rho"]
+                .max()
+                .reset_index()
+            )
+            reg_parts.append(part)
+            buffered += len(part)
+            if buffered >= flush_groups * 4:  # bound buffered register rows
+                yield drain()
+                reg_parts = []
+                buffered = 0
+        if reg_parts:
+            yield drain()
+
+    partials = hashed.mapInPandas(build, schema=out_schema)
+    return two_phase_merge(
+        partials, keys, HyperLogLog.from_bytes,
+        co_located=(strategy == "repartition"),
     )
 
 
@@ -318,9 +400,11 @@ def cms_agg(
     ]
     hashed = src.select(*keys, *hash_cols)
 
-    def add(sk: CountMinSketch, pdf: pd.DataFrame) -> None:
-        cols = np.stack([pdf[f"_c{j}"].to_numpy(dtype=np.int64) for j in range(depth)])
-        sk.add_hashed(cols)
+    def add(sk: CountMinSketch, cols: dict) -> None:
+        stacked = np.stack(
+            [np.asarray(cols[f"_c{j}"], dtype=np.int64) for j in range(depth)]
+        )
+        sk.add_hashed(stacked)
 
     return two_phase_agg(
         hashed,
@@ -404,9 +488,9 @@ def bloom_agg(
     ]
     hashed = src.select(*keys, *pos_cols)
 
-    def add(sk: BloomFilter, pdf: pd.DataFrame) -> None:
+    def add(sk: BloomFilter, cols: dict) -> None:
         for j in range(k):
-            sk.bits[pdf[f"_p{j}"].to_numpy(dtype=np.int64)] = True
+            sk.bits[np.asarray(cols[f"_p{j}"], dtype=np.int64)] = True
 
     return two_phase_agg(
         hashed,
@@ -431,8 +515,8 @@ def kll_agg(
     strategy: str = "combine",
     flush_groups: int = 50_000,
 ) -> DataFrame:
-    def add(sk: KLLSketch, pdf: pd.DataFrame) -> None:
-        sk.add(pdf[value_col].to_numpy(dtype=np.float64, na_value=np.nan))
+    def add(sk: KLLSketch, cols: dict) -> None:
+        sk.add(np.asarray(cols[value_col], dtype=np.float64))
 
     return two_phase_agg(
         df.where(_col(value_col).isNotNull()),
@@ -454,8 +538,8 @@ def tdigest_agg(
     strategy: str = "combine",
     flush_groups: int = 50_000,
 ) -> DataFrame:
-    def add(sk: TDigest, pdf: pd.DataFrame) -> None:
-        sk.add(pdf[value_col].to_numpy(dtype=np.float64, na_value=np.nan))
+    def add(sk: TDigest, cols: dict) -> None:
+        sk.add(np.asarray(cols[value_col], dtype=np.float64))
 
     return two_phase_agg(
         df.where(_col(value_col).isNotNull()),
