@@ -157,6 +157,18 @@ def main() -> None:
         3,
     )
 
+    # high-cardinality companion UDAF: one HLL blob per conv_id (N/10 groups)
+    # through the vectorized partial build + streaming merge
+    timings["synth_hll_udaf_per_conv"] = round(
+        best_of(
+            2,
+            lambda: sk.hll_agg(
+                synth.select("conv_id", "tool"), "tool", ["conv_id"], p=6
+            ),
+        ),
+        3,
+    )
+
     # composite of per-query best-case timings (min-of-N for the synthetic
     # stages, single-shot for the sf queries) — a best-case estimate, not an
     # actual wall time
