@@ -553,6 +553,19 @@ def q_sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("query_id", "rank")
 
 
+def q_sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN top-5: argmax-dot coarse cells (deterministic codebook),
+    nprobe=4 of 16 cells probed per query, exact-cosine refinement — the
+    inverted-file complement of the LSH scale path."""
+    embs = _embs(spark, sf_dir)
+    queries = embs.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return sim.ivf_topk(
+        embs, queries, k=5, n_centroids=16, nprobe=4
+    ).orderBy("query_id", "rank")
+
+
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup pairs (cosine >= 0.3) within banded LSH buckets
     (union over 4 bands), hot buckets capped at 400 vectors."""
@@ -674,6 +687,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash_pairs_global": q_dedup_simhash_pairs_global,
         "sim_topk_bruteforce": q_sim_topk_bruteforce,
         "sim_ann_lsh": q_sim_ann_lsh,
+        "sim_ivf_topk": q_sim_ivf_topk,
         "embedding_neardup": q_embedding_neardup,
         "multimodal_frame_grid": q_multimodal_frame_grid,
         "multimodal_image_features": q_multimodal_image_features,
@@ -803,6 +817,7 @@ ORDER BY l_returnflag, l_linestatus""",
         "dedup_simhash_pairs_global": opl.simhash_pairs_global_oracle(max_hamming=3),
         "sim_topk_bruteforce": opl.brute_force_topk_oracle(),
         "sim_ann_lsh": opl.lsh_ann_topk_oracle(),
+        "sim_ivf_topk": opl.ivf_topk_oracle(n_centroids=16, nprobe=4),
         "embedding_neardup": opl.embedding_neardup_oracle(
             threshold=0.3, bucket_cap=400
         ),

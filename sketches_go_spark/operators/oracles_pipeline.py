@@ -315,3 +315,61 @@ FROM {keyed_src} a
 JOIN {keyed_src} b ON a.band = b.band AND a.key = b.key AND a.vec_id < b.vec_id
 WHERE {cos} >= {threshold}
 ORDER BY id_a, id_b"""
+
+
+def _centroid_literal(c: int, dim: int) -> str:
+    from sketches_go_spark.operators.similarity import ivf_centroid
+
+    return "[" + ", ".join(repr(x) for x in ivf_centroid(c, dim)) + "]"
+
+
+def ivf_topk_oracle(
+    src: str = "embeddings",
+    n_queries: int = 5,
+    k: int = 5,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    dim: int = 64,
+) -> str:
+    """Replay of operators.similarity.ivf_topk: argmax-dot cell assignment
+    (first index of the max — identical tie-break), nprobe best cells per
+    query, exact cosine within probed cells."""
+    dots = "[" + ", ".join(
+        _dot_sql("embedding", _centroid_literal(c, dim), dim)
+        for c in range(n_centroids)
+    ) + "]"
+    probe_rows = "\nUNION ALL\n".join(
+        f"SELECT query_id, embedding, {c} AS cell, dots[{c + 1}] AS dot FROM sgs_qd"
+        for c in range(n_centroids)
+    )
+    cos = _cos_sql("q.embedding", "v.embedding", dim)
+    return f"""WITH sgs_vd AS (
+  SELECT vec_id, embedding, {dots} AS dots FROM {src}
+),
+sgs_v AS (
+  SELECT vec_id, embedding,
+         cast(list_position(dots, list_max(dots)) - 1 AS int) AS cell
+  FROM sgs_vd
+),
+sgs_qd AS (
+  SELECT vec_id AS query_id, embedding, {dots} AS dots
+  FROM {src} WHERE vec_id < {n_queries}
+),
+sgs_probe AS (
+  SELECT query_id, embedding, cell FROM (
+    SELECT query_id, embedding, cell, dot,
+           row_number() OVER (PARTITION BY query_id ORDER BY dot DESC, cell ASC) AS pr
+    FROM ({probe_rows})
+  ) WHERE pr <= {nprobe}
+),
+sgs_sims AS (
+  SELECT q.query_id, v.vec_id, {cos} AS sim
+  FROM sgs_v v JOIN sgs_probe q ON v.cell = q.cell
+),
+sgs_ranked AS (
+  SELECT query_id, vec_id, sim,
+         cast(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id ASC) AS int) AS rank
+  FROM sgs_sims
+)
+SELECT query_id, rank, vec_id, sim FROM sgs_ranked WHERE rank <= {k}
+ORDER BY query_id, rank"""

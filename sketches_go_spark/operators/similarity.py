@@ -253,3 +253,78 @@ def embedding_neardup_pairs(
         .distinct()
         .where(F.col("sim") >= threshold)
     )
+
+
+# --------------------------------------------------------------------- IVF ANN
+def ivf_centroid(c: int, dim: int) -> list[float]:
+    """Deterministic pseudo-random coarse centroid — identical md5 formula to
+    :func:`hyperplane` (salt 'ivf'), so the DuckDB oracle replays it."""
+    out = []
+    for d in range(dim):
+        h = int(hashlib.md5(f"ivf{c}:{d}".encode()).hexdigest()[:15], 16)
+        out.append((h % 2001) / 1000.0 - 1.0)
+    return out
+
+
+def ivf_cell_dots_expr(vec: Column, centroids: Sequence[Sequence[float]]) -> Column:
+    """Array of dot products against every coarse centroid (JVM fold, fixed
+    order — bit-identical across engines)."""
+    return F.array(
+        *[dot_expr(vec, F.array(*[F.lit(float(x)) for x in c])) for c in centroids]
+    )
+
+
+def ivf_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    sim_decimals: int = 4,
+) -> DataFrame:
+    """IVF-style ANN: vectors are assigned to their argmax-dot coarse cell
+    (an inverted file); each query probes its ``nprobe`` best cells and is
+    refined by exact cosine within them.  The complement of the LSH variant:
+    data-aware-ish cells (a fixed deterministic codebook here — production
+    swaps in trained k-means centroids, the plumbing is identical), recall
+    tuned by nprobe instead of bands.
+
+    Scale shape: the cell id is a single int join key; cell population is
+    ~n/n_centroids, so n_centroids should grow ~n/target_cell_size, and the
+    probe join touches nprobe cells per query."""
+    cents = [ivf_centroid(c, dim) for c in range(n_centroids)]
+    vdots = ivf_cell_dots_expr(F.col(vec_col), cents)
+    # argmax = first position of the max (deterministic tie-break)
+    vcell = (F.array_position(vdots, F.array_max(vdots)) - 1).cast("int")
+    vk = vectors.select(F.col(id_col), F.col(vec_col), vcell.alias("cell"))
+
+    qdots = ivf_cell_dots_expr(F.col(vec_col), cents)
+    q = queries.select(
+        F.col(query_id_col), F.col(vec_col).alias("_qvec"),
+        F.posexplode(qdots).alias("cell", "dot"),
+    )
+    w_probe = Window.partitionBy(query_id_col).orderBy(
+        F.col("dot").desc(), F.col("cell").asc()
+    )
+    qk = (
+        q.withColumn("_pr", F.row_number().over(w_probe))
+        .where(F.col("_pr") <= nprobe)
+        .select(query_id_col, "_qvec", "cell")
+    )
+    sims = vk.join(F.broadcast(qk), "cell").select(
+        query_id_col,
+        id_col,
+        F.round(cosine_expr(F.col(vec_col), F.col("_qvec")), sim_decimals).alias("sim"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("sim").desc(), F.col(id_col).asc()
+    )
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(query_id_col, "rank", id_col, "sim")
+    )

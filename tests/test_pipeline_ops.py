@@ -164,3 +164,29 @@ def test_banded_lsh_recall_at_scale(spark):
         [len(exact_sets[q] & ann_sets.get(q, set())) / k for q in exact_sets.index]
     )
     assert recall >= 0.9, f"recall {recall:.3f}"
+
+
+def test_ivf_full_probe_equals_bruteforce(spark):
+    """With nprobe == n_centroids every cell is probed, so IVF must equal
+    the exact brute-force top-k EXACTLY; with a partial probe it must still
+    find a decent fraction (clustered data not guaranteed here, so the
+    bound is loose)."""
+    embs = spark.read.parquet(f"{SF_ORACLE}/embeddings.parquet")
+    queries = embs.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = sim.brute_force_topk(embs, queries, k=5).toPandas()
+    full = sim.ivf_topk(
+        embs, queries, k=5, n_centroids=8, nprobe=8
+    ).toPandas()
+    le = exact.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    lf = full.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    assert (le["vec_id"] == lf["vec_id"]).all()
+    assert (le["sim"] == lf["sim"]).all()
+    part = sim.ivf_topk(embs, queries, k=5, n_centroids=8, nprobe=3).toPandas()
+    exact_sets = exact.groupby("query_id")["vec_id"].apply(set)
+    part_sets = part.groupby("query_id")["vec_id"].apply(set)
+    recall = np.mean(
+        [len(exact_sets[q] & part_sets.get(q, set())) / 5 for q in exact_sets.index]
+    )
+    assert recall >= 0.3
