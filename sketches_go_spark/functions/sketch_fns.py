@@ -390,31 +390,77 @@ def cms_agg(
     strategy: str = "combine",
     flush_groups: int = 50_000,
 ) -> DataFrame:
-    """UDAF path: encoded CMS value per group (columns pre-hashed JVM-side)."""
-    src = df.where(_col(item_col).isNotNull())
+    """UDAF path: encoded CMS value per group (columns pre-hashed JVM-side).
+
+    Vectorized build: per batch the (group, counter-cell) relation is reduced
+    with a C-path pandas groupby-sum; CountMinSketch objects materialize once
+    per group at partition end (same trick as hll_agg/ddsketch_partial)."""
+    kcols = list(keys)
     hash_cols = [
         F.pmod(portable_hash64(_col(item_col), cms_salt(j)), F.lit(width))
         .cast("int")
         .alias(f"_c{j}")
         for j in range(depth)
     ]
-    hashed = src.select(*keys, *hash_cols)
+    hashed = df.where(_col(item_col).isNotNull()).select(*kcols, *hash_cols)
+    if strategy == "repartition":
+        hashed = hashed.repartition(*kcols)
+    key_fields = [hashed.schema[k] for k in kcols]
+    out_schema = StructType(list(key_fields) + [StructField("sketch", BinaryType())])
 
-    def add(sk: CountMinSketch, cols: dict) -> None:
-        stacked = np.stack(
-            [np.asarray(cols[f"_c{j}"], dtype=np.int64) for j in range(depth)]
-        )
-        sk.add_hashed(stacked)
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        parts: list[pd.DataFrame] = []
+        buffered = 0
 
-    return two_phase_agg(
-        hashed,
-        [f"_c{j}" for j in range(depth)],
-        keys,
-        lambda: CountMinSketch(depth, width),
-        add,
-        CountMinSketch.from_bytes,
-        strategy=strategy,
-        flush_groups=flush_groups,
+        def drain() -> pd.DataFrame:
+            cells = (
+                pd.concat(parts, ignore_index=True)
+                .groupby([*kcols, "_cell"], dropna=False, sort=False)["_w"]
+                .sum()
+                .reset_index()
+            )
+            cell_arr = cells["_cell"].to_numpy(dtype=np.int64)
+            w_arr = cells["_w"].to_numpy(dtype=np.float64)
+            rows = []
+            for gkey, idx in cells.groupby(kcols, dropna=False, sort=False).indices.items():
+                gtuple = gkey if isinstance(gkey, tuple) else (gkey,)
+                s = CountMinSketch(depth, width)
+                s.table.ravel()[cell_arr[idx]] = w_arr[idx]
+                rows.append((*gtuple, s.to_bytes()))
+            return pd.DataFrame(rows, columns=kcols + ["sketch"])
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            n = len(pdf)
+            # one (group, row*width+col) weight row per (input row, depth)
+            frames = []
+            for j in range(depth):
+                f2 = pd.DataFrame({k: pdf[k].to_numpy() for k in kcols})
+                f2["_cell"] = (
+                    j * width + pdf[f"_c{j}"].to_numpy(dtype=np.int64)
+                )
+                frames.append(f2)
+            stacked = pd.concat(frames, ignore_index=True)
+            stacked["_w"] = 1.0
+            part = (
+                stacked.groupby([*kcols, "_cell"], sort=False, dropna=False)["_w"]
+                .sum()
+                .reset_index()
+            )
+            parts.append(part)
+            buffered += len(part)
+            if buffered >= flush_groups * 4:
+                yield drain()
+                parts = []
+                buffered = 0
+        if parts:
+            yield drain()
+
+    partials = hashed.mapInPandas(build, schema=out_schema)
+    return two_phase_merge(
+        partials, keys, CountMinSketch.from_bytes,
+        co_located=(strategy == "repartition"),
     )
 
 
@@ -478,29 +524,65 @@ def bloom_agg(
     strategy: str = "combine",
     flush_groups: int = 50_000,
 ) -> DataFrame:
-    """UDAF path: encoded Bloom filter value per group."""
-    src = df.where(_col(item_col).isNotNull())
+    """UDAF path: encoded Bloom filter value per group.
+
+    Vectorized build: per batch the distinct (group, bit-position) relation
+    is reduced with a C-path pandas drop_duplicates; BloomFilter objects
+    materialize once per group at partition end."""
+    kcols = list(keys)
     pos_cols = [
         F.pmod(portable_hash64(_col(item_col), bloom_salt(j)), F.lit(m_bits))
         .cast("int")
         .alias(f"_p{j}")
         for j in range(k)
     ]
-    hashed = src.select(*keys, *pos_cols)
+    hashed = df.where(_col(item_col).isNotNull()).select(*kcols, *pos_cols)
+    if strategy == "repartition":
+        hashed = hashed.repartition(*kcols)
+    key_fields = [hashed.schema[k2] for k2 in kcols]
+    out_schema = StructType(list(key_fields) + [StructField("sketch", BinaryType())])
 
-    def add(sk: BloomFilter, cols: dict) -> None:
-        for j in range(k):
-            sk.bits[np.asarray(cols[f"_p{j}"], dtype=np.int64)] = True
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        parts: list[pd.DataFrame] = []
+        buffered = 0
 
-    return two_phase_agg(
-        hashed,
-        [f"_p{j}" for j in range(k)],
-        keys,
-        lambda: BloomFilter(m_bits, k),
-        add,
-        BloomFilter.from_bytes,
-        strategy=strategy,
-        flush_groups=flush_groups,
+        def drain() -> pd.DataFrame:
+            bits = pd.concat(parts, ignore_index=True).drop_duplicates(
+                [*kcols, "_pos"]
+            )
+            pos_arr = bits["_pos"].to_numpy(dtype=np.int64)
+            rows = []
+            for gkey, idx in bits.groupby(kcols, dropna=False, sort=False).indices.items():
+                gtuple = gkey if isinstance(gkey, tuple) else (gkey,)
+                s = BloomFilter(m_bits, k)
+                s.bits[pos_arr[idx]] = True
+                rows.append((*gtuple, s.to_bytes()))
+            return pd.DataFrame(rows, columns=kcols + ["sketch"])
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            frames = []
+            for j in range(k):
+                f2 = pd.DataFrame({k2: pdf[k2].to_numpy() for k2 in kcols})
+                f2["_pos"] = pdf[f"_p{j}"].to_numpy(dtype=np.int64)
+                frames.append(f2)
+            part = pd.concat(frames, ignore_index=True).drop_duplicates(
+                [*kcols, "_pos"]
+            )
+            parts.append(part)
+            buffered += len(part)
+            if buffered >= flush_groups * 4:
+                yield drain()
+                parts = []
+                buffered = 0
+        if parts:
+            yield drain()
+
+    partials = hashed.mapInPandas(build, schema=out_schema)
+    return two_phase_merge(
+        partials, keys, BloomFilter.from_bytes,
+        co_located=(strategy == "repartition"),
     )
 
 
