@@ -132,6 +132,17 @@ def q_ddsketch_udaf_textlen_by_role(spark: SparkSession, sf_dir: str) -> DataFra
     return out.select("role", "cnt", "p50", "p95", "p99").orderBy("role")
 
 
+def q_ddsketch_udaf_bins_strategy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Third UDAF build strategy ('bins'): relational bins + single-scan
+    exact-stat partials assembled into encoded blobs — must produce the
+    identical quantiles/count as the combine topology (same oracle)."""
+    sketches = dd.ddsketch_agg(
+        _text_len_by_role(spark, sf_dir), "v", ["role"], CFG, strategy="bins"
+    )
+    out = dd.with_summary(dd.with_quantiles(sketches, QS, prefix="p"))
+    return out.select("role", "cnt", "p50", "p95", "p99").orderBy("role")
+
+
 def q_ddsketch_proto_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Protobuf interop: the UDAF sketches converted to pb.DDSketch bytes and
     back (core/protobuf.py), then queried — quantiles and count must be
@@ -661,6 +672,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ddsketch_summary_by_role": q_ddsketch_summary_by_role,
         "ddsketch_udaf_textlen_by_role": q_ddsketch_udaf_textlen_by_role,
         "ddsketch_proto_roundtrip": q_ddsketch_proto_roundtrip,
+        "ddsketch_udaf_bins_strategy": q_ddsketch_udaf_bins_strategy,
         "ddsketch_collapsed_bins": q_ddsketch_collapsed_bins,
         "ddsketch_collapsed_highest_bins": q_ddsketch_collapsed_highest_bins,
         "ddsketch_weighted_bins": q_ddsketch_weighted_bins,
@@ -723,6 +735,10 @@ def oracle_sql() -> dict[str, str]:
         ),
         # proto round-trip preserves bins exactly -> identical oracle
         "ddsketch_proto_roundtrip": oracles.ddsketch_quantiles_sql(
+            _TEXT_LEN_MEASURE_SQL, ["role"], QS, CFG, pivot=PIVOT, order_by="role"
+        ),
+        # all three UDAF build strategies agree bin-for-bin -> identical oracle
+        "ddsketch_udaf_bins_strategy": oracles.ddsketch_quantiles_sql(
             _TEXT_LEN_MEASURE_SQL, ["role"], QS, CFG, pivot=PIVOT, order_by="role"
         ),
         "ddsketch_collapsed_bins": (

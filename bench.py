@@ -146,6 +146,19 @@ def main() -> None:
         3,
     )
 
+    # UDAF blobs via the relational-bins build (strategy='bins': Arrow ships
+    # groups x buckets rows, not raw rows)
+    timings["synth_ddsketch_udaf_bins"] = round(
+        best_of(
+            2,
+            lambda: dd.with_quantiles(
+                dd.ddsketch_agg(src, "v", ["role"], cfg, strategy="bins"),
+                (0.5, 0.95, 0.99),
+            ),
+        ),
+        3,
+    )
+
     # synthetic HLL (distinct convs over N turns)
     timings["synth_hll_relational"] = round(
         best_of(

@@ -473,18 +473,143 @@ def ddsketch_agg(
     single vectorized pass — no merge stage, no per-partial decode.  Optimal
     at high key cardinality (e.g. per-conv_id sketches, where map-side
     combine finds nothing to combine and 'combine' would decode millions of
-    single-group partials)."""
+    single-group partials).
+
+    strategy='bins': build the bins RELATIONALLY first (pure Catalyst,
+    whole-stage codegen, map-side combined — the fastest build path), with
+    the exact count/sum/min/max carried as three extra bin-level aggregates
+    in the SAME single scan, then assemble one encoded sketch per group from
+    the tiny bins relation.  Arrow ships ``groups x buckets`` bin rows to
+    Python instead of every raw row — the optimal shape when groups hold
+    many values (low/medium cardinality); degenerates to 'repartition' cost
+    when groups are tiny."""
     config = config or DDSketchConfig()
     if strategy == "repartition":
         cols = [value_col] + ([weight_col] if weight_col else [])
         shuffled = df.select(*keys, *cols).repartition(*keys)
         return ddsketch_partial(shuffled, value_col, keys, config, weight_col, metrics)
+    if strategy == "bins":
+        return _ddsketch_agg_from_bins(df, value_col, keys, config, weight_col)
     return ddsketch_merge(
         ddsketch_partial(df, value_col, keys, config, weight_col, metrics),
         keys,
         config,
         metrics,
     )
+
+
+def _ddsketch_agg_from_bins(
+    df: DataFrame,
+    value_col: str,
+    keys: Sequence[str],
+    config: DDSketchConfig,
+    weight_col: str | None = None,
+) -> DataFrame:
+    """strategy='bins' build: one Catalyst aggregation produces the bins
+    relation EXTENDED with per-bin exact-stat partials (sum of v*w, min v,
+    max v), so the exact summary re-aggregates from bins without a second
+    scan of the raw data; blob assembly walks the sorted bins per group."""
+    mapping = config.mapping()
+    value = F.col(value_col)
+    sign, bucket = sign_bucket(value, mapping)
+    weight = (
+        F.lit(1.0) if weight_col is None else F.col(weight_col).cast("double")
+    )
+    v = value.cast("double")
+    ext = (
+        df.select(
+            *keys,
+            sign.alias("sign"),
+            bucket.alias("bucket"),
+            weight.alias("w"),
+            v.alias("v"),
+        )
+        .where(F.col("sign").isNotNull() & (F.col("w") > 0))
+        .groupBy(*keys, "sign", "bucket")
+        .agg(
+            F.sum("w").alias("count"),
+            F.sum(F.col("v") * F.col("w")).alias("vw"),
+            F.min("v").alias("mn"),
+            F.max("v").alias("mx"),
+        )
+    )
+    kcols = list(keys)
+    key_fields = [ext.schema[k] for k in kcols]
+    out_schema = StructType(list(key_fields) + [StructField("sketch", BinaryType())])
+
+    def assemble(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # streaming over key runs (bins arrive repartitioned by key, sorted
+        # by (keys, sign, bucket)); buffers one group's bin arrays at a time
+        cur_key: tuple | None = None
+        sgns: list[np.ndarray] = []
+        bkts: list[np.ndarray] = []
+        cnts: list[np.ndarray] = []
+        stats = [0.0, 0.0, math.inf, -math.inf]  # cnt, sum, min, max
+        out_rows: list[tuple] = []
+
+        def finish() -> None:
+            sgn = np.concatenate(sgns)
+            bkt = np.concatenate(bkts)
+            cnt = np.concatenate(cnts)
+            s = DDSketch(config=config)
+            p = sgn == 1
+            n = sgn == -1
+            s.pos_idx, s.pos_cnt = bkt[p], cnt[p]
+            s.neg_idx, s.neg_cnt = bkt[n], cnt[n]
+            s.zero_count = float(cnt[sgn == 0].sum())
+            s._apply_collapse()
+            s.exact_count = stats[0]
+            s.exact_sum = stats[1]
+            s.exact_min = stats[2]
+            s.exact_max = stats[3]
+            out_rows.append((*cur_key, encode_sketch(s)))
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            key_arrays = [pdf[k].to_numpy() for k in kcols]
+            sgn_a = pdf["sign"].to_numpy()
+            bkt_a = pdf["bucket"].to_numpy(dtype=np.int64)
+            cnt_a = pdf["count"].to_numpy(dtype=np.float64)
+            vw_a = pdf["vw"].to_numpy(dtype=np.float64)
+            mn_a = pdf["mn"].to_numpy(dtype=np.float64)
+            mx_a = pdf["mx"].to_numpy(dtype=np.float64)
+            # find run boundaries within the batch
+            start = 0
+            for i in range(len(pdf) + 1):
+                k = (
+                    _norm_key(a[i] for a in key_arrays)
+                    if i < len(pdf)
+                    else None
+                )
+                if i < len(pdf) and k == cur_key:
+                    continue
+                if i > start:
+                    sl = slice(start, i)
+                    sgns.append(sgn_a[sl])
+                    bkts.append(bkt_a[sl])
+                    cnts.append(cnt_a[sl])
+                    stats[0] += float(cnt_a[sl].sum())
+                    stats[1] += float(vw_a[sl].sum())
+                    stats[2] = min(stats[2], float(mn_a[sl].min()))
+                    stats[3] = max(stats[3], float(mx_a[sl].max()))
+                if i < len(pdf):
+                    if cur_key is not None and k != cur_key and sgns:
+                        finish()
+                        sgns, bkts, cnts = [], [], []
+                        stats = [0.0, 0.0, math.inf, -math.inf]
+                    cur_key = k
+                    start = i
+            if len(out_rows) >= 10000:
+                yield pd.DataFrame(out_rows, columns=kcols + ["sketch"])
+                out_rows = []
+        if cur_key is not None and sgns:
+            finish()
+        if out_rows:
+            yield pd.DataFrame(out_rows, columns=kcols + ["sketch"])
+
+    shuffled = ext.repartition(*kcols).sortWithinPartitions(*kcols, "sign", "bucket")
+    return shuffled.mapInPandas(assemble, schema=out_schema)
 
 
 def _decode(blob) -> DDSketch:

@@ -186,3 +186,49 @@ def test_pair_operators_use_equality_joins(spark):
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "CartesianProduct" not in plan, name
         assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_ddsketch_agg_bins_strategy_parity(spark):
+    """strategy='bins' (relational bins + blob assembly, single scan with
+    bin-level exact-stat partials) must agree with strategy='combine' on
+    every bin, the zero count, and the exact summary."""
+    import pandas as pd
+
+    from sketches_go_spark.core.encoding import decode_sketch
+
+    rng = np.random.default_rng(41)
+    n = 40000
+    pdf = pd.DataFrame(
+        {
+            "g": rng.choice(["a", "b", "c", None], n).astype(object),
+            "v": np.concatenate(
+                [rng.lognormal(1, 2, n // 2), -rng.exponential(3, n // 2)]
+            ),
+            "w": rng.integers(1, 4, n).astype(float),
+        }
+    )
+    pdf.loc[rng.choice(n, 50, replace=False), "v"] = 0.0
+    sdf = spark.createDataFrame(pdf).repartition(8)
+    combine = {
+        tuple(r[:1]): decode_sketch(bytes(r["sketch"]))
+        for r in dd.ddsketch_agg(sdf, "v", ["g"], CFG, weight_col="w").collect()
+    }
+    bins = {
+        tuple(r[:1]): decode_sketch(bytes(r["sketch"]))
+        for r in dd.ddsketch_agg(
+            sdf, "v", ["g"], CFG, weight_col="w", strategy="bins"
+        ).collect()
+    }
+    assert combine.keys() == bins.keys() and len(bins) == 4
+    for k in combine:
+        a, b = combine[k], bins[k]
+        assert np.array_equal(a.pos_idx, b.pos_idx)
+        assert np.allclose(a.pos_cnt, b.pos_cnt)
+        assert np.array_equal(a.neg_idx, b.neg_idx)
+        assert np.allclose(a.neg_cnt, b.neg_cnt)
+        assert a.zero_count == pytest.approx(b.zero_count)
+        assert a.exact_count == pytest.approx(b.exact_count)
+        assert a.exact_sum == pytest.approx(b.exact_sum, rel=1e-9)
+        assert a.exact_min == b.exact_min and a.exact_max == b.exact_max
+        for q in (0.01, 0.5, 0.99):
+            assert a.quantile(q) == b.quantile(q)
