@@ -232,3 +232,32 @@ def test_ddsketch_agg_bins_strategy_parity(spark):
         assert a.exact_min == b.exact_min and a.exact_max == b.exact_max
         for q in (0.01, 0.5, 0.99):
             assert a.quantile(q) == b.quantile(q)
+
+
+def test_bins_strategy_group_spans_arrow_batches(spark):
+    """A group whose bins relation spans several Arrow batches must still
+    assemble into ONE sketch (the run buffers persist across batches)."""
+    from sketches_go_spark.core.encoding import decode_sketch
+
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "97")
+    try:
+        # ~1400 distinct buckets per group >> 97 rows per Arrow batch
+        sdf = spark.range(4000).select(
+            F.pmod("id", F.lit(2)).cast("string").alias("g"),
+            F.pow(F.lit(1.02), F.pmod("id", F.lit(1400))).alias("v"),
+        )
+        rows = dd.ddsketch_agg(sdf, "v", ["g"], CFG, strategy="bins").collect()
+        assert len(rows) == 2
+        ref = {
+            r["g"]: decode_sketch(bytes(r["sketch"]))
+            for r in dd.ddsketch_agg(sdf, "v", ["g"], CFG).collect()
+        }
+        for r in rows:
+            got = decode_sketch(bytes(r["sketch"]))
+            want = ref[r["g"]]
+            assert np.array_equal(got.pos_idx, want.pos_idx)
+            assert np.allclose(got.pos_cnt, want.pos_cnt)
+            assert got.exact_count == pytest.approx(want.exact_count)
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
