@@ -1,0 +1,64 @@
+"""Cross-format transcript sources + sketch sink round-trips: the identical
+bins relation must come out of every landing format, and persisted sketch
+blobs must decode byte-exactly."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from sketches_go_spark.core.ddsketch import DDSketchConfig
+from sketches_go_spark.core.encoding import decode_sketch
+from sketches_go_spark.functions import ddsketch_fns as dd
+from sketches_go_spark.sources import io as sio
+from sketches_go_spark.sources.transcripts import transcripts_from_events
+from tests.conftest import SF_SMOKE
+
+CFG = DDSketchConfig(alpha=0.01)
+
+
+def _bins_pdf(t):
+    src = t.select("role", F.length("text").cast("double").alias("v"))
+    return (
+        dd.build_bins(src, "v", ["role"], CFG)
+        .orderBy("role", "sign", "bucket")
+        .toPandas()
+    )
+
+
+@pytest.mark.parametrize("fmt", ["parquet", "csv", "json", "orc"])
+def test_transcripts_roundtrip_all_formats(spark, tmp_path, fmt):
+    t = transcripts_from_events(spark, SF_SMOKE).drop("value")
+    want = _bins_pdf(t)
+    path = str(tmp_path / f"t_{fmt}")
+    sio.write_transcripts(t, path, fmt=fmt)
+    back = sio.read_transcripts(spark, path, fmt=fmt)
+    assert [f.name for f in back.schema.fields] == [
+        f.name for f in sio.TRANSCRIPT_SCHEMA.fields
+    ]
+    got = _bins_pdf(back)
+    assert want.equals(got), fmt
+    # per-turn text equality under stable (conv_id, turn_idx) ordering —
+    # the north rule's per-row invariant, across the format round-trip
+    a = t.orderBy("conv_id", "turn_idx").select("text").toPandas()
+    b = back.orderBy("conv_id", "turn_idx").select("text").toPandas()
+    assert a.equals(b), fmt
+
+
+def test_sketch_sink_roundtrip(spark, tmp_path):
+    t = transcripts_from_events(spark, SF_SMOKE)
+    src = t.select("role", F.length("text").cast("double").alias("v"))
+    sketches = dd.ddsketch_agg(src, "v", ["role"], CFG, strategy="bins")
+    want = {r["role"]: bytes(r["sketch"]) for r in sketches.collect()}
+    path = str(tmp_path / "sketch_warehouse")
+    sio.write_sketches(sketches, path, partition_by=["role"])
+    back = sio.read_sketches(spark, path)
+    got = {r["role"]: bytes(r["sketch"]) for r in back.collect()}
+    assert want == got  # byte-exact blob round-trip
+    # and the read-back blobs answer queries
+    q = dd.with_quantiles(back, [0.5]).select("role", "p50").collect()
+    for r in q:
+        s = decode_sketch(got[r["role"]])
+        assert r["p50"] == pytest.approx(round(s.quantile(0.5), 6))
+    # partition pruning: a role-filtered scan reads one partition directory
+    plan = back.where(F.col("role") == "user")._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(role" in plan or "role#" in plan
