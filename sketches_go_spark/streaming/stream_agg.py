@@ -143,3 +143,71 @@ def stateful_sketch_stream(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def streaming_hll_registers(
+    stream: DataFrame,
+    item_col: str,
+    keys: Sequence[str],
+    p: int = 12,
+    time_col: str | None = None,
+    window: str | None = None,
+    watermark: str | None = None,
+) -> DataFrame:
+    """Streaming HLL register relation: (window?, keys..., reg, rho).
+
+    Registers are a MAX-monoid, so the state store maintains them natively —
+    the streaming result equals the batch register relation exactly, and the
+    estimate is computed per micro-batch (or from the final state) with the
+    same relational estimator as the batch path.  State size per group is
+    bounded by m = 2^p rows regardless of stream length."""
+    from sketches_go_spark.functions.sketch_fns import hll_register_exprs
+
+    idx, rho = hll_register_exprs(F.col(item_col), p)
+    src = stream.where(F.col(item_col).isNotNull())
+    group_cols: list = list(keys)
+    if time_col and watermark:
+        src = src.withWatermark(time_col, watermark)
+        group_cols = [F.window(F.col(time_col), window or "1 minute")] + group_cols
+    return (
+        src.select(*([time_col] if time_col and watermark else []), *keys,
+                   idx.alias("reg"), rho.alias("rho"))
+        .groupBy(*group_cols, "reg")
+        .agg(F.max("rho").alias("rho"))
+    )
+
+
+def streaming_cms_counters(
+    stream: DataFrame,
+    item_col: str,
+    keys: Sequence[str],
+    depth: int = 4,
+    width: int = 512,
+    time_col: str | None = None,
+    window: str | None = None,
+    watermark: str | None = None,
+) -> DataFrame:
+    """Streaming count-min counter relation: (window?, keys..., row, col,
+    cnt) — a SUM-monoid like the DDSketch bins, bounded at depth*width state
+    rows per group."""
+    from sketches_go_spark.core.cms import cms_salt
+    from sketches_go_spark.functions.expressions import portable_hash64
+
+    item = F.col(item_col)
+    cols = F.array(
+        *[
+            F.pmod(portable_hash64(item, cms_salt(j)), F.lit(width)).cast("int")
+            for j in range(depth)
+        ]
+    )
+    src = stream.where(item.isNotNull())
+    group_cols: list = list(keys)
+    if time_col and watermark:
+        src = src.withWatermark(time_col, watermark)
+        group_cols = [F.window(F.col(time_col), window or "1 minute")] + group_cols
+    return (
+        src.select(*([time_col] if time_col and watermark else []), *keys,
+                   F.posexplode(cols).alias("row", "col"))
+        .groupBy(*group_cols, "row", "col")
+        .agg(F.count(F.lit(1)).cast("double").alias("cnt"))
+    )

@@ -226,3 +226,46 @@ def test_streaming_windowed_watermark(spark, stream_dir):
     for (w, g), sub in pdf2.groupby(["w", "g"]):
         core = DDSketch.from_values(sub["v"].to_numpy(), config=CFG)
         assert out[(w, g)] == pytest.approx(core.quantile(0.5), abs=1e-6)
+
+
+def test_streaming_hll_and_cms_equal_batch(spark, stream_dir):
+    """Streaming register/counter relations (max-/sum-monoids in the state
+    store) must equal their batch twins row-for-row after availableNow."""
+    from sketches_go_spark.functions import sketch_fns as sk
+    from sketches_go_spark.streaming.stream_agg import (
+        streaming_cms_counters,
+        streaming_hll_registers,
+    )
+
+    d, pdf = stream_dir
+    schema = spark.read.parquet(str(d / "data")).schema
+    stream = spark.readStream.schema(schema).parquet(str(d / "data"))
+    batch = spark.read.parquet(str(d / "data"))
+    batch_items = batch.select("g", F.col("v").cast("string").alias("item"))
+    stream_items = stream.select("g", F.col("v").cast("string").alias("item"))
+
+    hll_q = (
+        streaming_hll_registers(stream_items, "item", ["g"], p=8)
+        .writeStream.format("memory").queryName("sgs_hll_regs")
+        .outputMode("complete").trigger(availableNow=True).start()
+    )
+    hll_q.awaitTermination(300)
+    got = spark.table("sgs_hll_regs").orderBy("g", "reg").toPandas()
+    want = (
+        sk.hll_registers(batch_items, "item", ["g"], p=8)
+        .orderBy("g", "reg").toPandas()
+    )
+    assert want.equals(got)
+
+    cms_q = (
+        streaming_cms_counters(stream_items, "item", ["g"], depth=3, width=64)
+        .writeStream.format("memory").queryName("sgs_cms_cnt")
+        .outputMode("complete").trigger(availableNow=True).start()
+    )
+    cms_q.awaitTermination(300)
+    got_c = spark.table("sgs_cms_cnt").orderBy("g", "row", "col").toPandas()
+    want_c = (
+        sk.cms_counters(batch_items, "item", ["g"], depth=3, width=64)
+        .orderBy("g", "row", "col").toPandas()
+    )
+    assert want_c.equals(got_c)
