@@ -435,6 +435,41 @@ def q_streaming_ddsketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_streaming_hll_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming HLL (axis B): the register relation is a
+    max-monoid, maintained natively by the state store; the availableNow
+    result must equal the batch register relation — same oracle."""
+    from sketches_go_spark.streaming.stream_agg import streaming_hll_registers
+
+    import hashlib
+    import os
+    import shutil
+
+    src_file = f"{sf_dir}/events.parquet"
+    stage = "/tmp/sgs_stream_src_" + hashlib.md5(src_file.encode()).hexdigest()[:8]
+    if not os.path.exists(os.path.join(stage, "events.parquet")):
+        os.makedirs(stage, exist_ok=True)
+        shutil.copy(src_file, os.path.join(stage, "events.parquet"))
+
+    batch_schema = spark.read.parquet(src_file).schema
+    stream = spark.readStream.schema(batch_schema).parquet(stage)
+    # the transcripts derivation needs a window (not streamable); register
+    # HLL over the raw events stream instead: distinct users per event_type
+    items = stream.select("event_type", F.col("user_id").cast("string").alias("item"))
+    regs = streaming_hll_registers(items, "item", ["event_type"], p=HLL_P)
+    _STREAM_COUNTER[0] += 1
+    name = f"sgs_stream_hll_{_STREAM_COUNTER[0]}"
+    q = (
+        regs.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name).orderBy("event_type", "reg")
+
+
 # --------------------------------------------- engine composability (§2.9)
 def q_rel_agg_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Classic pricing-summary aggregation (Spark built-ins ARE the engine
@@ -684,6 +719,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kll_latency_by_role": q_kll_latency_by_role,
         "tdigest_latency_by_role": q_tdigest_latency_by_role,
         "streaming_ddsketch_value_by_event_type": q_streaming_ddsketch,
+        "streaming_hll_registers_by_event_type": q_streaming_hll_registers,
         "rel_agg_lineitem": q_rel_agg_lineitem,
         "sketch_after_join": q_sketch_after_join,
         "ddsketch_rollup": q_ddsketch_rollup,
@@ -797,6 +833,11 @@ def oracle_sql() -> dict[str, str]:
             _EVENT_VALUE_MEASURE_SQL, ["event_type"], QS, CFG,
             order_by="event_type, q",
         ),
+        "streaming_hll_registers_by_event_type": oracles.hll_registers_sql(
+            "SELECT event_type, cast(user_id AS string) AS item FROM events",
+            ["event_type"], p=HLL_P,
+        )
+        + " ORDER BY event_type, reg",
         "rel_agg_lineitem": """
 SELECT l_returnflag, l_linestatus,
        sum(l_quantity) AS sum_qty,
