@@ -65,8 +65,12 @@ def two_phase_agg(
     strategy: str = "combine",
     flush_groups: int = 50_000,
 ) -> DataFrame:
-    """Shared topology for every mergeable sketch.  Sketch objects must
-    expose ``.merge()`` and ``.to_bytes()``.
+    """Shared topology for mergeable sketches whose partial build is a
+    per-group object update (KLL / t-digest — rank sketches with
+    order-sensitive internal state).  HLL / CMS / Bloom use fully vectorized
+    builders instead (see hll_agg / cms_agg / bloom_agg) and share only
+    :func:`two_phase_merge`.  Sketch objects must expose ``.merge()`` and
+    ``.to_bytes()``.
 
     strategy='combine' (default): one partial sketch per (group x input
     partition) built batch-wise in mapInPandas (map-side combine), shuffle of
