@@ -97,7 +97,12 @@ spark.stop()
 def measure(cores: int, cache: str, turns: int, reps: int, job: str = "relational") -> dict:
     code = _RUNNER.format(repo=REPO, cores=cores, cache=cache, reps=reps, job=job)
     env = dict(os.environ)
-    env["SPARK_DRIVER_MEM"] = f"{8 + 2 * cores}g"
+    # FIXED modest heap, identical at every level: the earlier 8+2*cores
+    # sizing (72g at 32 cores) competed with the page cache holding the
+    # input parquet and thrashed ParallelGC — measured 10.9-50s at local[32]
+    # vs 2.2s with a 16g heap on the same quiet host (round-2 audit).  Equal
+    # heaps also remove a cross-level confound from the scaling comparison.
+    env["SPARK_DRIVER_MEM"] = os.environ.get("SGS_SCALING_HEAP", "16g")
     out = subprocess.run(
         [sys.executable, "-c", code], check=True, capture_output=True, text=True,
         env=env,
