@@ -10,13 +10,17 @@ is hot (bucket spreads a hot key over ~hundreds of reducers), and the shuffle
 payload after partial agg is at most ``groups x buckets`` rows regardless of
 input size.
 
-**UDAF path:** the sketch as a *value* — an encoded ``BinaryType`` blob built
-by an explicit two-phase topology: ``mapInPandas`` partial sketch per input
-partition (map-side combine the Arrow way) → ``groupBy(keys)`` shuffle of the
-tiny partials → ``applyInPandas`` merge.  Needed for bounded-memory
-collapsing semantics, sketch-as-a-column storage/rollup, streaming state and
-checkpointed resume.  The blob is the reference-compatible binary format
-(core.encoding), so shuffle/checkpoint bytes stay small.
+**UDAF path:** the sketch as a *value* — an encoded ``BinaryType`` blob.
+Three build strategies (see :func:`ddsketch_agg`): ``combine`` (vectorized
+``mapInPandas`` partial per input partition — map-side combine the Arrow
+way — then a shuffle of the tiny partials and a STREAMING sorted-run merge),
+``repartition`` (raw shuffle once, build in place; high key cardinality),
+and ``bins`` (relational bins + single-scan exact-stat partials, blobs
+assembled from the tiny bins relation; fastest at low/medium cardinality).
+Needed for bounded-memory collapsing semantics, sketch-as-a-column
+storage/rollup, streaming state and checkpointed resume.  The blob is the
+reference-compatible binary format (core.encoding), so shuffle/checkpoint
+bytes stay small.
 
 Both paths share the mapping math and agree on bucket semantics; parity is
 asserted in tests (same quantile estimates vs the same oracle).
@@ -489,7 +493,9 @@ def ddsketch_agg(
         shuffled = df.select(*keys, *cols).repartition(*keys)
         return ddsketch_partial(shuffled, value_col, keys, config, weight_col, metrics)
     if strategy == "bins":
-        return _ddsketch_agg_from_bins(df, value_col, keys, config, weight_col)
+        return _ddsketch_agg_from_bins(
+            df, value_col, keys, config, weight_col, metrics
+        )
     return ddsketch_merge(
         ddsketch_partial(df, value_col, keys, config, weight_col, metrics),
         keys,
@@ -504,6 +510,7 @@ def _ddsketch_agg_from_bins(
     keys: Sequence[str],
     config: DDSketchConfig,
     weight_col: str | None = None,
+    metrics=None,
 ) -> DataFrame:
     """strategy='bins' build: one Catalyst aggregation produces the bins
     relation EXTENDED with per-bin exact-stat partials (sum of v*w, min v,
@@ -608,6 +615,10 @@ def _ddsketch_agg_from_bins(
         if out_rows:
             yield pd.DataFrame(out_rows, columns=kcols + ["sketch"])
 
+    if metrics is not None:
+        from sketches_go_spark.plans.metrics import instrument_map_in_pandas
+
+        assemble = instrument_map_in_pandas(assemble, metrics)
     shuffled = ext.repartition(*kcols).sortWithinPartitions(*kcols, "sign", "bucket")
     return shuffled.mapInPandas(assemble, schema=out_schema)
 
