@@ -182,6 +182,22 @@ def main() -> None:
         3,
     )
 
+    # rank-sketch pipeline without the driver query's oracle-verification
+    # join (kll_latency_by_role also pays an exact-rank check by design)
+    from sketches_go_spark.core.kll import KLLSketch
+
+    timings["synth_kll_udaf"] = round(
+        best_of(
+            2,
+            lambda: sk.with_sketch_quantiles(
+                sk.kll_agg(src, "v", ["role"], k=200),
+                KLLSketch.from_bytes,
+                [0.5, 0.95, 0.99],
+            ),
+        ),
+        3,
+    )
+
     # composite of per-query best-case timings (min-of-N for the synthetic
     # stages, single-shot for the sf queries) — a best-case estimate, not an
     # actual wall time
