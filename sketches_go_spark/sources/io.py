@@ -54,10 +54,14 @@ def read_transcripts(
         raise ValueError(f"unsupported transcript format {fmt!r}")
     if fmt == "csv":
         # text timestamps parse via the explicit schema; header required so
-        # column order in the files is not load-bearing
+        # column order in the files is not load-bearing; multiLine + RFC-4180
+        # quote-escaping so transcript text containing newlines/quotes/commas
+        # round-trips losslessly
         return (
             spark.read.schema(TRANSCRIPT_SCHEMA)
             .option("header", "true")
+            .option("multiLine", "true")
+            .option("escape", '"')
             .option("timestampFormat", "yyyy-MM-dd HH:mm:ss[.SSSSSS]")
             .csv(path)
         )
@@ -80,7 +84,7 @@ def write_transcripts(
     out = df.select(*[f.name for f in TRANSCRIPT_SCHEMA])
     w = out.write.mode(mode)
     if fmt == "csv":
-        w = w.option("header", "true").option(
+        w = w.option("header", "true").option("escape", '"').option(
             "timestampFormat", "yyyy-MM-dd HH:mm:ss.SSSSSS"
         )
     w.format(fmt).save(path)

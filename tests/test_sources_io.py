@@ -62,3 +62,37 @@ def test_sketch_sink_roundtrip(spark, tmp_path):
     # partition pruning: a role-filtered scan reads one partition directory
     plan = back.where(F.col("role") == "user")._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters: [isnotnull(role" in plan or "role#" in plan
+
+
+def test_csv_roundtrip_hostile_text(spark, tmp_path):
+    """Transcript text containing commas, quotes, newlines and unicode must
+    survive the CSV round trip byte-for-byte (RFC-4180 quoting + multiLine)."""
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        {
+            "conv_id": ["c-0", "c-0", "c-1"],
+            "turn_idx": np.array([0, 1, 0], dtype=np.int32),
+            "role": ["user", "assistant", "tool"],
+            "text": [
+                'hello, "world"\nsecond line',
+                "unicode: é中文 \U0001f600, and a comma",
+                None,
+            ],
+            "tool": [None, None, "tool-1"],
+            "ts": pd.to_datetime(
+                [
+                    "2024-01-01 00:00:00.000001",
+                    "2024-01-01 00:00:01.000000",
+                    "2024-01-01 00:00:02.500000",
+                ]
+            ),
+        }
+    )
+    t = spark.createDataFrame(pdf)
+    path = str(tmp_path / "hostile_csv")
+    sio.write_transcripts(t, path, fmt="csv")
+    back = sio.read_transcripts(spark, path, fmt="csv")
+    a = t.orderBy("conv_id", "turn_idx").toPandas()
+    b = back.orderBy("conv_id", "turn_idx").toPandas()
+    assert a.equals(b)
