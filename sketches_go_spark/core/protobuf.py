@@ -89,6 +89,10 @@ def _need(b: memoryview, pos: int, n: int) -> None:
 
 
 def _zigzag32(v: int) -> int:
+    if not (-(1 << 31) <= v < (1 << 31)):
+        # bin indexes are sint32 on the wire (pb/ddsketch.proto:62,67); a
+        # silent wrap would corrupt the sketch
+        raise ValueError(f"index {v} does not fit protobuf sint32")
     return ((v << 1) ^ (v >> 31)) & 0xFFFFFFFF
 
 

@@ -182,3 +182,12 @@ def test_proto_decode_mutation_fuzz(seed):
             continue  # ProtoDecodingError and mapping validation errors
         assert isinstance(out, DDSketch)
         assert out.count >= 0
+
+
+def test_proto_sint32_overflow_guard():
+    b = pb.DDSketchProtoBuilder(2.0)
+    with pytest.raises(ValueError, match="sint32"):
+        b.add_positive_bin(1 << 31, 1.0)
+    b.add_positive_bin((1 << 31) - 1, 1.0)  # boundary fits
+    s = pb.decode_proto(b.build())
+    assert s.pos_idx[0] == (1 << 31) - 1
