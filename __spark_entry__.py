@@ -245,6 +245,22 @@ def q_ddsketch_change_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("tool", "sign", "bucket")
 
 
+def q_ddsketch_daily_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time rollup: p50/p95 of events.value per (day, event_type) —
+    the batch twin of the streaming windowed aggregation (bins keyed on the
+    truncated event time compose with every bins operator)."""
+    # day as a string: tz-free (ts is TIMESTAMP_NTZ in the parquet, and
+    # engines disagree on timestamp rendering across session timezones)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        F.substring(F.col("ts").cast("string"), 1, 10).alias("day"),
+        "event_type",
+        F.col("value").cast("double").alias("v"),
+    )
+    return dd.ddsketch_quantiles_relational(
+        ev, "v", ["day", "event_type"], (0.5, 0.95), CFG
+    ).orderBy("day", "event_type", "q")
+
+
 # ----------------------------------------------------- companion sketches
 _TOOL_ITEMS_SQL = (
     f"SELECT tool AS item FROM {_TRANSCRIPTS} t WHERE tool IS NOT NULL"
@@ -708,6 +724,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ddsketch_udaf_textlen_by_role": q_ddsketch_udaf_textlen_by_role,
         "ddsketch_proto_roundtrip": q_ddsketch_proto_roundtrip,
         "ddsketch_udaf_bins_strategy": q_ddsketch_udaf_bins_strategy,
+        "ddsketch_daily_quantiles": q_ddsketch_daily_quantiles,
         "ddsketch_collapsed_bins": q_ddsketch_collapsed_bins,
         "ddsketch_collapsed_highest_bins": q_ddsketch_collapsed_highest_bins,
         "ddsketch_weighted_bins": q_ddsketch_weighted_bins,
@@ -776,6 +793,12 @@ def oracle_sql() -> dict[str, str]:
         # all three UDAF build strategies agree bin-for-bin -> identical oracle
         "ddsketch_udaf_bins_strategy": oracles.ddsketch_quantiles_sql(
             _TEXT_LEN_MEASURE_SQL, ["role"], QS, CFG, pivot=PIVOT, order_by="role"
+        ),
+        "ddsketch_daily_quantiles": oracles.ddsketch_quantiles_sql(
+            "SELECT substr(cast(ts AS string), 1, 10) AS day, event_type,"
+            " cast(value AS double) AS v FROM events",
+            ["day", "event_type"], (0.5, 0.95), CFG,
+            order_by="day, event_type, q",
         ),
         "ddsketch_collapsed_bins": (
             "WITH "
