@@ -312,6 +312,17 @@ def q_cms_tool_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return est.join(true, "item").orderBy("item")
 
 
+def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 tools per role by count-min estimate (heavy hitters over the
+    CMS: candidates bounded by the per-group vocabulary, deterministic
+    tie-break ranking)."""
+    t = transcripts_from_events(spark, sf_dir).where(F.col("tool").isNotNull())
+    src = t.select("role", F.col("tool").alias("item"))
+    return sk.cms_heavy_hitters(
+        src, "item", ["role"], k=5, depth=4, width=256
+    ).orderBy("role", "rank")
+
+
 def q_bloom_probe_tools(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom membership probes (7 present tools + 5 absent names)."""
     t = transcripts_from_events(spark, sf_dir).where(F.col("tool").isNotNull())
@@ -732,6 +743,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_distinct_convs_by_role": q_hll_distinct_convs_by_role,
         "hll_udaf_distinct_by_role": q_hll_udaf_distinct_by_role,
         "cms_tool_counts": q_cms_tool_counts,
+        "cms_heavy_hitters": q_cms_heavy_hitters,
         "bloom_probe_tools": q_bloom_probe_tools,
         "kll_latency_by_role": q_kll_latency_by_role,
         "tdigest_latency_by_role": q_tdigest_latency_by_role,
@@ -842,6 +854,12 @@ def oracle_sql() -> dict[str, str]:
             _TOOL_ITEMS_SQL, depth=4, width=512
         )
         + " ORDER BY item",
+        "cms_heavy_hitters": oracles.cms_heavy_hitters_sql(
+            f"SELECT role, tool AS item FROM {_TRANSCRIPTS} t"
+            " WHERE tool IS NOT NULL",
+            ["role"], k=5, depth=4, width=256,
+        )
+        + " ORDER BY role, rank",
         "bloom_probe_tools": oracles.bloom_probe_sql(
             _TOOL_ITEMS_SQL, _BLOOM_PROBES, m_bits=4096, k=5
         )

@@ -377,3 +377,42 @@ sgs_zero AS (SELECT {k}, sign, bucket, count AS cnt FROM sgs_bins WHERE sign = 0
 SELECT {k}, sign, bucket, round(sum(cnt), {count_decimals}) AS cnt
 FROM (SELECT * FROM sgs_split UNION ALL SELECT * FROM sgs_zero)
 GROUP BY {k}, sign, bucket"""
+
+
+def cms_heavy_hitters_sql(
+    src_sql: str,
+    keys,
+    k: int = 10,
+    depth: int = 4,
+    width: int = 512,
+) -> str:
+    """(keys..., rank, item, est_cnt) top-k per group by CMS estimate —
+    mirrors sketch_fns.cms_heavy_hitters.  ``src_sql`` must yield keys...
+    and ``item``."""
+    kcsv = _keys_csv(keys)
+    kc = f"{kcsv}, " if kcsv else ""
+    part = f"PARTITION BY {kcsv} " if kcsv else ""
+    return f"""WITH sgs_src AS ({src_sql}),
+sgs_exploded AS ({_union_hash_rows('sgs_src', 'item', depth, 'cms', width,
+                                   extra_cols=kcsv)}),
+sgs_counters AS (
+  SELECT {kc}row, col, cast(count(*) AS double) AS cnt
+  FROM sgs_exploded GROUP BY {kc}row, col
+),
+sgs_items AS (SELECT DISTINCT {kc}item FROM sgs_src),
+sgs_probe AS ({_union_hash_rows('sgs_items', 'item', depth, 'cms', width,
+                                extra_cols=(kc + 'item'))}),
+sgs_est AS (
+  SELECT {'p.' + ', p.'.join(keys) + ',' if keys else ''} p.item,
+         min(coalesce(c.cnt, 0.0)) AS est_cnt
+  FROM sgs_probe p LEFT JOIN sgs_counters c
+    ON p.row = c.row AND p.col = c.col
+       {' '.join(f'AND p.{kk} = c.{kk}' for kk in keys)}
+  GROUP BY {'p.' + ', p.'.join(keys) + ',' if keys else ''} p.item
+),
+sgs_ranked AS (
+  SELECT {kc}item, est_cnt,
+         cast(row_number() OVER ({part}ORDER BY est_cnt DESC, item ASC) AS int) AS rank
+  FROM sgs_est
+)
+SELECT {kc}rank, item, est_cnt FROM sgs_ranked WHERE rank <= {k}"""

@@ -673,3 +673,37 @@ def with_sketch_quantiles(
         )
         tmp = tmp.withColumn(name, F.element_at("_qarr", i + 1))
     return tmp.drop("_qarr")
+
+
+def cms_heavy_hitters(
+    df: DataFrame,
+    item_col: str,
+    keys: Sequence[str],
+    k: int = 10,
+    depth: int = 4,
+    width: int = 512,
+) -> DataFrame:
+    """(keys..., rank, item, est_cnt): top-k items per group by count-min
+    estimate — the classic heavy-hitters query over a CMS.
+
+    Candidates are the distinct (keys, item) pairs: at 10^12 rows the
+    candidate relation is bounded by the VOCABULARY per group (tools, event
+    names, tokens), not the row count, and the counter relation is d*w rows
+    per group, so both sides of the probe join stay tiny regardless of input
+    size.  Ranking ties break by item so the ordering is deterministic and
+    engine-portable."""
+    from pyspark.sql.window import Window
+
+    src = df.where(_col(item_col).isNotNull())
+    counters = cms_counters(src, item_col, keys, depth, width)
+    items = src.select(*keys, _col(item_col).alias("item")).distinct()
+    est = cms_estimate(counters, items, "item", depth, width, keys=keys)
+    part = list(keys) if keys else [F.lit(1)]
+    w = Window.partitionBy(*part).orderBy(
+        F.col("est_cnt").desc(), F.col("item").asc()
+    )
+    return (
+        est.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(*keys, "rank", "item", "est_cnt")
+    )
