@@ -163,7 +163,10 @@ class LogarithmicMapping(_BaseMapping):
 
     def lower_bound(self, indexes: np.ndarray) -> np.ndarray:
         i = np.asarray(indexes, dtype=np.float64)
-        return np.exp((i - self.index_offset) / self.multiplier)
+        # indexes beyond the indexable range saturate to inf — the correct
+        # semantics for a decoded out-of-range bucket, not a numerical error
+        with np.errstate(over="ignore"):
+            return np.exp((i - self.index_offset) / self.multiplier)
 
 
 def _approx_log2_linear(v: np.ndarray) -> np.ndarray:
