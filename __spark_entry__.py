@@ -93,6 +93,34 @@ def q_ddsketch_quantiles_value_by_event_type(spark: SparkSession, sf_dir: str) -
     ).orderBy("event_type", "q")
 
 
+CFG_LINEAR = DDSketchConfig(alpha=ALPHA, interpolation="linear")
+CFG_CUBIC = DDSketchConfig(alpha=ALPHA, interpolation="cubic")
+
+
+def q_ddsketch_linear_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relational path under the LinearlyInterpolatedMapping Catalyst twin
+    (exact-frexp decomposition; bit-identical buckets to the numpy core —
+    parity: linearly_interpolated_mapping.go:71-99)."""
+    return dd.quantiles_from_bins(
+        dd.build_bins(_events_value(spark, sf_dir), "v", ["event_type"], CFG_LINEAR),
+        ["event_type"],
+        QS,
+        CFG_LINEAR,
+    ).orderBy("event_type", "q")
+
+
+def q_ddsketch_cubic_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relational path under the CubicallyInterpolatedMapping Catalyst twin
+    (cubic-polynomial log2 approx + Cardano inverse — parity:
+    cubically_interpolated_mapping.go:78-124)."""
+    return dd.quantiles_from_bins(
+        dd.build_bins(_events_value(spark, sf_dir), "v", ["event_type"], CFG_CUBIC),
+        ["event_type"],
+        QS,
+        CFG_CUBIC,
+    ).orderBy("event_type", "q")
+
+
 def q_ddsketch_textlen_by_role(spark: SparkSession, sf_dir: str) -> DataFrame:
     """p50/p95/p99 of length(text) per role over the transcripts derivation."""
     return dd.ddsketch_quantiles_relational(
@@ -728,6 +756,8 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "ddsketch_quantiles_value_by_event_type": q_ddsketch_quantiles_value_by_event_type,
+        "ddsketch_linear_quantiles_by_event_type": q_ddsketch_linear_quantiles,
+        "ddsketch_cubic_quantiles_by_event_type": q_ddsketch_cubic_quantiles,
         "ddsketch_textlen_by_role": q_ddsketch_textlen_by_role,
         "ddsketch_latency_by_tool": q_ddsketch_latency_by_tool,
         "ddsketch_bins_histogram": q_ddsketch_bins_histogram,
@@ -777,6 +807,14 @@ def oracle_sql() -> dict[str, str]:
     return {
         "ddsketch_quantiles_value_by_event_type": oracles.ddsketch_quantiles_sql(
             _EVENT_VALUE_MEASURE_SQL, ["event_type"], QS, CFG,
+            order_by="event_type, q",
+        ),
+        "ddsketch_linear_quantiles_by_event_type": oracles.ddsketch_quantiles_sql(
+            _EVENT_VALUE_MEASURE_SQL, ["event_type"], QS, CFG_LINEAR,
+            order_by="event_type, q",
+        ),
+        "ddsketch_cubic_quantiles_by_event_type": oracles.ddsketch_quantiles_sql(
+            _EVENT_VALUE_MEASURE_SQL, ["event_type"], QS, CFG_CUBIC,
             order_by="event_type, q",
         ),
         "ddsketch_textlen_by_role": oracles.ddsketch_quantiles_sql(

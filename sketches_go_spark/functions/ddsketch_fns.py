@@ -750,8 +750,16 @@ def change_mapping_bins(
     explode fans out, overlap fractions weight the counts, and a final
     groupBy re-aggregates.  The zero bucket (sign=0) passes through (scaled
     interval still contains 0)."""
+    from sketches_go_spark.core.mapping import LogarithmicMapping
+
     mo = old_config.mapping()
     mn = new_config.mapping()
+    if not isinstance(mo, LogarithmicMapping) or not isinstance(mn, LogarithmicMapping):
+        raise NotImplementedError(
+            "change_mapping_bins implements the exp/ln interval split for "
+            "logarithmic mappings only; interpolated mappings must go through "
+            "the UDAF path (DDSketch.change_mapping)"
+        )
     s = float(scale_factor)
     lo = F.exp(
         (F.col("bucket").cast("double") - F.lit(mo.index_offset)) / F.lit(mo.multiplier)

@@ -35,6 +35,90 @@ def _keys_csv(keys: Sequence[str]) -> str:
     return ", ".join(keys)
 
 
+# ------------------------------------------------------------- mapping SQL
+def _exact_exponent_sql(v: str) -> str:
+    """Exact IEEE exponent of a positive double in SQL: floor(log2(v))
+    corrected by comparing against the exact power 2**e0 (log2 alone is only
+    faithfully rounded, so it can be off by one at powers of two).  The SQL
+    twin of functions.expressions.exact_frexp."""
+    e0 = f"floor(log2({v}))"
+    p0 = f"power(2.0, {e0})"
+    return (
+        f"({e0} + (CASE WHEN {v} >= 2.0 * {p0} THEN 1.0 "
+        f"WHEN {v} < {p0} THEN -1.0 ELSE 0.0 END))"
+    )
+
+
+def index_sql(mapping, v: str) -> str:
+    """Scalar SQL expression for the mapping's raw (un-floored) index of a
+    positive value expression ``v``.  Same IEEE operation order as both the
+    numpy core and the Catalyst twin, so for the interpolated mappings the
+    floored result is bit-identical across all three engines; for the log
+    mapping the last-ulp libm difference at bucket edges is absorbed by the
+    alpha contract."""
+    mult, off = _lit(mapping.multiplier), _lit(mapping.index_offset)
+    kind = type(mapping).__name__
+    if kind == "LogarithmicMapping":
+        approx = f"ln({v})"
+    elif kind == "LinearlyInterpolatedMapping":
+        e = _exact_exponent_sql(v)
+        s = f"({v} / power(2.0, {e}))"
+        approx = f"(({e} + {s}) - 1.0)"
+    elif kind == "CubicallyInterpolatedMapping":
+        from sketches_go_spark.core.mapping import _A, _B, _C
+
+        e = _exact_exponent_sql(v)
+        s1 = f"(({v} / power(2.0, {e})) - 1.0)"
+        approx = (
+            f"(((({_lit(_A)} * {s1} + {_lit(_B)}) * {s1} + {_lit(_C)}) * {s1}) + {e})"
+        )
+    else:
+        raise NotImplementedError(f"no oracle SQL for mapping {kind}")
+    return f"({approx} * {mult} + {off})"
+
+
+def bucket_index_sql(mapping, v: str) -> str:
+    return f"cast(floor({index_sql(mapping, v)}) AS int)"
+
+
+def lower_bound_sql(mapping, bucket: str) -> str:
+    """Scalar SQL for mapping.lower_bound(bucket) — inverse of index_sql."""
+    mult, off = _lit(mapping.multiplier), _lit(mapping.index_offset)
+    x = f"(({bucket} - {off}) / {mult})"
+    kind = type(mapping).__name__
+    if kind == "LogarithmicMapping":
+        return f"exp({x})"
+    if kind == "LinearlyInterpolatedMapping":
+        e = f"floor({x})"
+        spo = f"({x} - {e} + 1.0)"
+        return f"({spo} * power(2.0, {e}))"
+    if kind == "CubicallyInterpolatedMapping":
+        from sketches_go_spark.functions.expressions import (
+            _D0,
+            _K_3A,
+            _K_4D03,
+            _K_D1_CONST,
+            _K_D1_FRAC,
+        )
+        from sketches_go_spark.core.mapping import _B
+
+        e = f"floor({x})"
+        frac = f"({x} - {e})"
+        d1 = f"({_lit(_K_D1_CONST)} - {_lit(_K_D1_FRAC)} * {frac})"
+        p = f"cbrt(({d1} - sqrt({d1} * {d1} - {_lit(_K_4D03)})) / 2.0)"
+        spo = (
+            f"((-(({_lit(_B)} + {p}) + {_lit(_D0)} / {p})) / {_lit(_K_3A)} + 1.0)"
+        )
+        return f"({spo} * power(2.0, {e}))"
+    raise NotImplementedError(f"no oracle SQL for mapping {kind}")
+
+
+def bucket_value_sql(mapping, bucket: str) -> str:
+    """Representative bucket value: lower_bound * (1 + alpha)."""
+    factor = _lit(1.0 + mapping.relative_accuracy())
+    return f"({lower_bound_sql(mapping, bucket)} * {factor})"
+
+
 def ddsketch_bins_sql(
     measure_sql: str,
     keys: Sequence[str],
@@ -49,7 +133,6 @@ def ddsketch_bins_sql(
     config = config or DDSketchConfig()
     m = config.mapping()
     k = _keys_csv(keys)
-    mult, off = _lit(m.multiplier), _lit(m.index_offset)
     min_i, max_i = _lit(m.min_indexable), _lit(m.max_indexable)
     w = weight_expr or "1.0"
     sql = f"""
@@ -57,8 +140,8 @@ sgs_measures AS ({measure_sql}),
 sgs_routed AS (
   SELECT {k},
          CASE WHEN v > {min_i} THEN 1 WHEN v < -{min_i} THEN -1 ELSE 0 END AS sign,
-         CASE WHEN v > {min_i} THEN cast(floor(ln(v) * {mult} + {off}) AS int)
-              WHEN v < -{min_i} THEN cast(floor(ln(-v) * {mult} + {off}) AS int)
+         CASE WHEN v > {min_i} THEN {bucket_index_sql(m, "v")}
+              WHEN v < -{min_i} THEN {bucket_index_sql(m, "(-v)")}
               ELSE 0 END AS bucket,
          cast({w} AS double) AS wgt
   FROM sgs_measures
@@ -106,10 +189,10 @@ def ddsketch_quantiles_sql(
     config = config or DDSketchConfig()
     m = config.mapping()
     k = _keys_csv(keys)
-    mult, off = _lit(m.multiplier), _lit(m.index_offset)
-    factor = _lit(1.0 + m.relative_accuracy())
     qlist = ", ".join(_lit(q) for q in quantiles)
     bins_cte = ddsketch_bins_sql(measure_sql, keys, config, weight_expr)
+    neg_val = bucket_value_sql(m, "coalesce(neg_key, max_neg_bucket)")
+    pos_val = bucket_value_sql(m, "coalesce(pos_key, max_pos_bucket)")
 
     body = f"""WITH {bins_cte},
 sgs_cum AS (
@@ -147,11 +230,9 @@ sgs_picked AS (
 sgs_est AS (
   SELECT {k}, q,
          round(CASE
-           WHEN q * (total - 1) < neg_total THEN
-             -exp((coalesce(neg_key, max_neg_bucket) - {off}) / {mult}) * {factor}
+           WHEN q * (total - 1) < neg_total THEN -{neg_val}
            WHEN q * (total - 1) < neg_total + zero_count THEN 0.0
-           ELSE
-             exp((coalesce(pos_key, max_pos_bucket) - {off}) / {mult}) * {factor}
+           ELSE {pos_val}
          END, 6) AS est,
          total
   FROM sgs_picked
@@ -181,23 +262,25 @@ def ddsketch_summary_sql(
     config = config or DDSketchConfig()
     m = config.mapping()
     k = _keys_csv(keys)
-    mult, off = _lit(m.multiplier), _lit(m.index_offset)
-    factor = _lit(1.0 + m.relative_accuracy())
     bins_cte = ddsketch_bins_sql(measure_sql, keys, config)
-    val = f"exp((bucket - {off}) / {mult}) * {factor}"
+    val = bucket_value_sql(m, "bucket")
+    max_neg = bucket_value_sql(m, "max(CASE WHEN sign = -1 THEN bucket END)")
+    min_pos = bucket_value_sql(m, "min(CASE WHEN sign = 1 THEN bucket END)")
+    max_pos = bucket_value_sql(m, "max(CASE WHEN sign = 1 THEN bucket END)")
+    min_neg = bucket_value_sql(m, "min(CASE WHEN sign = -1 THEN bucket END)")
     return f"""WITH {bins_cte}
 SELECT {k},
        sum(count) AS count,
        round(sum((CASE WHEN sign = 1 THEN {val}
-                       WHEN sign = -1 THEN -({val})
+                       WHEN sign = -1 THEN -{val}
                        ELSE 0.0 END) * count), 6) AS sum_approx,
-       round(coalesce(-exp((max(CASE WHEN sign = -1 THEN bucket END) - {off}) / {mult}) * {factor},
+       round(coalesce(-{max_neg},
                       CASE WHEN sum(CASE WHEN sign = 0 THEN count END) > 0 THEN 0.0 END,
-                      exp((min(CASE WHEN sign = 1 THEN bucket END) - {off}) / {mult}) * {factor}),
+                      {min_pos}),
              6) AS min_approx,
-       round(coalesce(exp((max(CASE WHEN sign = 1 THEN bucket END) - {off}) / {mult}) * {factor},
+       round(coalesce({max_pos},
                       CASE WHEN sum(CASE WHEN sign = 0 THEN count END) > 0 THEN 0.0 END,
-                      -exp((min(CASE WHEN sign = -1 THEN bucket END) - {off}) / {mult}) * {factor}),
+                      -{min_neg}),
              6) AS max_approx
 FROM sgs_bins GROUP BY {k}"""
 
