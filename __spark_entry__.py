@@ -450,6 +450,24 @@ def q_tdigest_latency_by_role(spark: SparkSession, sf_dir: str) -> DataFrame:
 _STREAM_COUNTER = [0]
 
 
+def _staged_events_stream(spark: SparkSession, sf_dir: str):
+    """File-source stream over the events table: the file stream source
+    requires a directory, so stage the single parquet file into a
+    content-addressed temp dir once (test staging only — production points
+    readStream at the real landing directory)."""
+    import hashlib
+    import os
+    import shutil
+
+    src_file = f"{sf_dir}/events.parquet"
+    stage = "/tmp/sgs_stream_src_" + hashlib.md5(src_file.encode()).hexdigest()[:8]
+    if not os.path.exists(os.path.join(stage, "events.parquet")):
+        os.makedirs(stage, exist_ok=True)
+        shutil.copy(src_file, os.path.join(stage, "events.parquet"))
+    batch_schema = spark.read.parquet(src_file).schema
+    return spark.readStream.schema(batch_schema).parquet(stage)
+
+
 def q_streaming_ddsketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured Streaming (axis B): file-source stream over events,
     watermark-free availableNow run; the streaming state IS the bins relation
@@ -457,20 +475,7 @@ def q_streaming_ddsketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     the batch query exactly — same oracle."""
     from sketches_go_spark.streaming.stream_agg import streaming_bins
 
-    import hashlib
-    import os
-    import shutil
-
-    # the file stream source requires a directory; stage the single parquet
-    # file into a content-addressed temp dir once
-    src_file = f"{sf_dir}/events.parquet"
-    stage = "/tmp/sgs_stream_src_" + hashlib.md5(src_file.encode()).hexdigest()[:8]
-    if not os.path.exists(os.path.join(stage, "events.parquet")):
-        os.makedirs(stage, exist_ok=True)
-        shutil.copy(src_file, os.path.join(stage, "events.parquet"))
-
-    batch_schema = spark.read.parquet(src_file).schema
-    stream = spark.readStream.schema(batch_schema).parquet(stage)
+    stream = _staged_events_stream(spark, sf_dir)
     src = stream.select(
         "event_type", F.col("value").cast("double").alias("v")
     )
@@ -496,18 +501,7 @@ def q_streaming_hll_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
     result must equal the batch register relation — same oracle."""
     from sketches_go_spark.streaming.stream_agg import streaming_hll_registers
 
-    import hashlib
-    import os
-    import shutil
-
-    src_file = f"{sf_dir}/events.parquet"
-    stage = "/tmp/sgs_stream_src_" + hashlib.md5(src_file.encode()).hexdigest()[:8]
-    if not os.path.exists(os.path.join(stage, "events.parquet")):
-        os.makedirs(stage, exist_ok=True)
-        shutil.copy(src_file, os.path.join(stage, "events.parquet"))
-
-    batch_schema = spark.read.parquet(src_file).schema
-    stream = spark.readStream.schema(batch_schema).parquet(stage)
+    stream = _staged_events_stream(spark, sf_dir)
     # the transcripts derivation needs a window (not streamable); register
     # HLL over the raw events stream instead: distinct users per event_type
     items = stream.select("event_type", F.col("user_id").cast("string").alias("item"))
@@ -523,6 +517,69 @@ def q_streaming_hll_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination(300)
     return spark.table(name).orderBy("event_type", "reg")
+
+
+def q_streaming_stateful_ddsketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful streaming sketch (axis B): applyInPandasWithState keeps ONE
+    encoded DDSketch blob per event_type in the state store and re-emits the
+    group's quantiles each micro-batch (streaming/stream_agg.py).  This is
+    the reference's decode-is-merge shape (ddsketch.go:400-429) under real
+    streaming state.  The final emission per key (largest n — counts grow
+    monotonically) must equal the batch UDAF result, so the oracle is the
+    same relational algorithm replay as the UDAF pivot queries."""
+    from sketches_go_spark.streaming.stream_agg import stateful_sketch_stream
+
+    stream = _staged_events_stream(spark, sf_dir)
+    src = stream.select("event_type", F.col("value").cast("double").alias("v"))
+    out = stateful_sketch_stream(src, "v", ["event_type"], CFG, QS)
+    _STREAM_COUNTER[0] += 1
+    name = f"sgs_stream_stateful_{_STREAM_COUNTER[0]}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    w = Window.partitionBy("event_type").orderBy(F.col("n").desc())
+    return (
+        spark.table(name)
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select(
+            "event_type",
+            F.col("n").alias("cnt"),
+            F.round("p50", 6).alias("p50"),
+            F.round("p95", 6).alias("p95"),
+            F.round("p99", 6).alias("p99"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def q_streaming_cms_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming count-min counter relation (axis B): (event_type, row, col,
+    cnt) is a SUM-monoid maintained natively by the state store; the
+    availableNow result equals the batch counter relation — exact oracle."""
+    from sketches_go_spark.streaming.stream_agg import streaming_cms_counters
+
+    stream = _staged_events_stream(spark, sf_dir)
+    items = stream.select(
+        "event_type", F.col("user_id").cast("string").alias("item")
+    )
+    counters = streaming_cms_counters(items, "item", ["event_type"], depth=4, width=512)
+    _STREAM_COUNTER[0] += 1
+    name = f"sgs_stream_cms_{_STREAM_COUNTER[0]}"
+    q = (
+        counters.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name).orderBy("event_type", "row", "col")
 
 
 # --------------------------------------------- engine composability (§2.9)
@@ -779,6 +836,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tdigest_latency_by_role": q_tdigest_latency_by_role,
         "streaming_ddsketch_value_by_event_type": q_streaming_ddsketch,
         "streaming_hll_registers_by_event_type": q_streaming_hll_registers,
+        "streaming_stateful_ddsketch_by_event_type": q_streaming_stateful_ddsketch,
+        "streaming_cms_counters_by_event_type": q_streaming_cms_counters,
         "rel_agg_lineitem": q_rel_agg_lineitem,
         "sketch_after_join": q_sketch_after_join,
         "ddsketch_rollup": q_ddsketch_rollup,
@@ -917,6 +976,16 @@ def oracle_sql() -> dict[str, str]:
             ["event_type"], p=HLL_P,
         )
         + " ORDER BY event_type, reg",
+        # stateful sketch state == batch UDAF sketch -> same pivot replay
+        "streaming_stateful_ddsketch_by_event_type": oracles.ddsketch_quantiles_sql(
+            _EVENT_VALUE_MEASURE_SQL, ["event_type"], QS, CFG,
+            pivot=PIVOT, order_by="event_type",
+        ),
+        "streaming_cms_counters_by_event_type": oracles.cms_counters_sql(
+            "SELECT event_type, cast(user_id AS string) AS item FROM events",
+            ["event_type"], depth=4, width=512,
+        )
+        + " ORDER BY event_type, row, col",
         "rel_agg_lineitem": """
 SELECT l_returnflag, l_linestatus,
        sum(l_quantity) AS sum_qty,

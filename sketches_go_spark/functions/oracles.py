@@ -373,6 +373,24 @@ SELECT e.item, e.est_cnt, t.true_cnt
 FROM sgs_est e JOIN sgs_true t USING (item)"""
 
 
+def cms_counters_sql(
+    src_sql: str, keys: Sequence[str], depth: int = 4, width: int = 512
+) -> str:
+    """(keys..., row, col, cnt) counter relation per group — mirrors
+    streaming.stream_agg.streaming_cms_counters (the counters are a
+    SUM-monoid, so the streaming result equals this batch replay exactly).
+    ``src_sql`` must yield keys... and ``item``."""
+    k = _keys_csv(keys)
+    kc = f"{k}, " if k else ""
+    return f"""WITH sgs_src AS (
+  SELECT * FROM ({src_sql}) WHERE item IS NOT NULL
+),
+sgs_exploded AS ({_union_hash_rows('sgs_src', 'item', depth, 'cms', width,
+                                   extra_cols=k)})
+SELECT {kc}row, col, cast(count(*) AS double) AS cnt
+FROM sgs_exploded GROUP BY {kc}row, col"""
+
+
 def bloom_probe_sql(
     build_sql: str, probe_items: list[str], m_bits: int = 4096, k: int = 5
 ) -> str:

@@ -76,17 +76,28 @@ def foreach_batch_quantiles(
     keys: Sequence[str],
     quantiles: Iterable[float],
     config: DDSketchConfig,
-    sink: list,
+    sink,
 ):
     """foreachBatch hook: finish the quantile extraction on each micro-batch
-    of bins and append rows to ``sink`` (a list for tests; production passes
-    a writer)."""
+    of bins and hand the RESULT DATAFRAME to ``sink``.
+
+    ``sink`` is either a callable ``(quantiles_df, batch_id) -> None`` — the
+    production shape, e.g. ``lambda df, bid: df.write.mode("append")
+    .parquet(path)``, which stays fully executor-side — or a plain list, in
+    which case rows are collected into it (tests/notebooks only)."""
+
+    if callable(sink):
+        write = sink
+    else:
+
+        def write(out: DataFrame, batch_id: int) -> None:
+            sink.extend([(batch_id, *r) for r in out.collect()])
 
     def _inner(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
         out = quantiles_from_bins(batch_df, keys, quantiles, config)
-        sink.extend([(batch_id, *r) for r in out.collect()])
+        write(out, batch_id)
 
     return _inner
 

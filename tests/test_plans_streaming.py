@@ -152,6 +152,34 @@ def test_streaming_bins_matches_batch(spark, stream_dir):
             assert got[(g, qq)] == pytest.approx(core.quantile(qq), abs=1e-6)
 
 
+def test_foreach_batch_writer_callable(spark, stream_dir):
+    """Production sink shape: foreachBatch hands the quantiles DataFrame to
+    a writer callable that writes executor-side (no driver collect)."""
+    d, pdf = stream_dir
+    out_dir = d / "writer_out"
+    schema = spark.read.parquet(str(d / "data")).schema
+    stream = spark.readStream.schema(schema).parquet(str(d / "data"))
+    bins = streaming_bins(stream, "v", ["g"], CFG)
+
+    def writer(out_df, batch_id: int) -> None:
+        out_df.write.mode("append").parquet(str(out_dir))
+
+    q = (
+        bins.writeStream.outputMode("complete")
+        .foreachBatch(foreach_batch_quantiles(["g"], [0.5, 0.99], CFG, writer))
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(d / "ckpt_writer"))
+        .start()
+    )
+    q.awaitTermination(120)
+    written = spark.read.parquet(str(out_dir))
+    got = {(r["g"], r["q"]): r["est"] for r in written.collect()}
+    for g, sub in pdf.groupby("g"):
+        core = DDSketch.from_values(sub["v"].to_numpy(), config=CFG)
+        for qq in (0.5, 0.99):
+            assert got[(g, qq)] == pytest.approx(core.quantile(qq), abs=1e-6)
+
+
 def test_stateful_sketch_stream(spark, stream_dir):
     d, pdf = stream_dir
     schema = spark.read.parquet(str(d / "data")).schema
