@@ -669,23 +669,26 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """16-bit SimHash fingerprints per document."""
-    return dedup.simhash(_docs(spark, sf_dir), bits=16).orderBy("doc_id")
+    """60-bit SimHash fingerprints per document (full portable-hash entropy;
+    the 16-bit round-2 default was toy-sized for corpus-scale blocking)."""
+    return dedup.simhash(_docs(spark, sf_dir), bits=60).orderBy("doc_id")
 
 
 def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs (hamming <= 1) blocked by lang."""
+    """SimHash near-dup pairs (hamming <= 1) blocked by lang — 2 pigeonhole
+    segments of 30 bits each."""
     return dedup.simhash_pairs(
-        _docs(spark, sf_dir), bits=16, max_hamming=1, block_col="lang"
+        _docs(spark, sf_dir), bits=60, max_hamming=1, block_col="lang"
     ).orderBy("id_a", "id_b")
 
 
 def q_dedup_simhash_pairs_global(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs (hamming <= 3) with NO blocking column —
     pigeonhole candidate generation is lossless, so the oracle is the exact
-    all-pairs hamming filter."""
+    all-pairs hamming filter.  4 segments of 15 bits spread the corpus over
+    32768 buckets per segment."""
     return dedup.simhash_pairs(
-        _docs(spark, sf_dir), bits=16, max_hamming=3, block_col=None
+        _docs(spark, sf_dir), bits=60, max_hamming=3, block_col=None
     ).orderBy("id_a", "id_b")
 
 

@@ -227,12 +227,19 @@ def simhash(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
-    bits: int = 16,
+    bits: int = 60,
 ) -> DataFrame:
     """(id, simhash): b-bit sign-aggregated token-hash fingerprint.
 
     tokens -> portable hash -> per-bit +-1 votes -> sign.  One explode + one
-    map-side-combined groupBy; the per-bit sums are b aggregate columns."""
+    map-side-combined groupBy; the per-bit sums are b aggregate columns.
+
+    Default 60 bits: the full entropy of the portable 60-bit hash, so
+    pigeonhole segments stay fine-grained at corpus scale (a 16-bit default
+    was the round-2 toy-sizing finding).  1 <= bits <= 63 (the fingerprint
+    accumulates into a non-negative bigint)."""
+    if not (1 <= bits <= 63):
+        raise ValueError("bits must be in [1, 63]")
     words = F.split(F.lower(F.trim(_col(text_col))), " ")
     toks = df.select(_col(id_col).alias(id_col), F.explode(words).alias("tok"))
     h = portable_hash64(F.col("tok"), "sh:")
@@ -254,7 +261,7 @@ def simhash_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
-    bits: int = 16,
+    bits: int = 60,
     max_hamming: int = 3,
     block_col: str | None = None,
 ) -> DataFrame:
@@ -279,13 +286,27 @@ def simhash_pairs(
         sig = sig.join(blocks, id_col)
     else:
         sig = sig.withColumn("_blk", F.lit(0))
+    return pigeonhole_hamming_pairs(sig, id_col, "simhash", bits, max_hamming)
+
+
+def pigeonhole_hamming_pairs(
+    sig: DataFrame,
+    id_col: str,
+    sig_col: str,
+    bits: int,
+    max_hamming: int,
+) -> DataFrame:
+    """Lossless hamming-distance self-join on a fingerprint relation
+    (id, sig_col, _blk): pigeonhole blocking on ``max_hamming + 1`` contiguous
+    segments, exact bit_count verification on candidates only.  Shared by
+    simhash_pairs and usable for any precomputed fingerprint column."""
     nseg = max_hamming + 1
     bounds = [round(i * bits / nseg) for i in range(nseg + 1)]
     segs = F.array(
         *[
             F.struct(
                 F.lit(i).alias("seg"),
-                F.shiftright(F.col("simhash"), bounds[i])
+                F.shiftright(F.col(sig_col), bounds[i])
                 .bitwiseAND(F.lit((1 << (bounds[i + 1] - bounds[i])) - 1))
                 .alias("segval"),
             )
@@ -293,20 +314,20 @@ def simhash_pairs(
         ]
     )
     keyed = sig.select(
-        id_col, "simhash", "_blk", F.explode(segs).alias("sg")
+        id_col, sig_col, "_blk", F.explode(segs).alias("sg")
     ).select(
         id_col,
-        "simhash",
+        sig_col,
         "_blk",
         F.col("sg.seg").alias("seg"),
         F.col("sg.segval").alias("segval"),
     )
     a = keyed.select(
-        F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"),
+        F.col(id_col).alias("id_a"), F.col(sig_col).alias("sh_a"),
         "_blk", "seg", "segval",
     )
     b = keyed.select(
-        F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b"),
+        F.col(id_col).alias("id_b"), F.col(sig_col).alias("sh_b"),
         "_blk", "seg", "segval",
     )
     cand = (

@@ -140,7 +140,7 @@ WHERE round(common / (sa.sz + sb.sz - common), 6) >= {threshold}
 ORDER BY id_a, id_b"""
 
 
-def simhash_oracle(src: str = "documents", bits: int = 16) -> str:
+def simhash_oracle(src: str = "documents", bits: int = 60) -> str:
     h = _hash_sql("tok", "sh:")
     votes = ", ".join(
         f"sum(CASE WHEN (({h}) >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS b{i}"
@@ -155,7 +155,7 @@ SELECT doc_id, cast({sig} AS bigint) AS simhash FROM sgs_votes ORDER BY doc_id""
 
 
 def simhash_pairs_oracle(
-    src: str = "documents", bits: int = 16, max_hamming: int = 3,
+    src: str = "documents", bits: int = 60, max_hamming: int = 3,
     block_col: str = "lang",
 ) -> str:
     base = simhash_oracle(src, bits).rsplit("ORDER BY", 1)[0]
@@ -173,7 +173,7 @@ ORDER BY id_a, id_b"""
 
 
 def simhash_pairs_global_oracle(
-    src: str = "documents", bits: int = 16, max_hamming: int = 3
+    src: str = "documents", bits: int = 60, max_hamming: int = 3
 ) -> str:
     """Ground-truth all-pairs hamming filter — a valid oracle for the Spark
     operator precisely because its pigeonhole blocking is lossless (the

@@ -129,6 +129,45 @@ def test_simhash_pigeonhole_complete_recall(spark):
     assert any((int(sigs[a]) ^ int(sigs[b])) >> (bits - 8) != 0 for a, b in got)
 
 
+def test_pigeonhole_bounded_buckets_at_scale(spark):
+    """10^5 random 60-bit fingerprints + 300 planted near-dups: the
+    pigeonhole join must (a) recover every planted pair — losslessness at
+    scale — and (b) keep per-segment bucket populations tiny (15-bit segment
+    values spread 10^5 docs over 32768 buckets, ~3 docs/bucket), i.e. the
+    candidate join stays linear-ish, not quadratic — the round-2 toy-sizing
+    finding, fixed by the 60-bit default."""
+    rng = np.random.default_rng(19)
+    n, planted, bits, d = 100_000, 300, 60, 3
+    sigs = rng.integers(0, 1 << bits, n, dtype=np.int64)
+    near = sigs[:planted].copy()
+    for i in range(planted):
+        for bit in rng.choice(bits, rng.integers(1, d + 1), replace=False):
+            near[i] ^= np.int64(1) << np.int64(bit)
+    pdf = pd.DataFrame(
+        {
+            "doc_id": np.arange(n + planted),
+            "simhash": np.concatenate([sigs, near]),
+        }
+    )
+    sig_df = spark.createDataFrame(pdf).repartition(16).withColumn("_blk", F.lit(0))
+    pairs = dedup.pigeonhole_hamming_pairs(sig_df, "doc_id", "simhash", bits, d)
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    for i in range(planted):
+        if sigs[i] != near[i]:
+            assert (i, n + i) in got, f"planted pair {i} missed"
+    # bucket-population bound: max docs sharing one (seg, segval) key
+    nseg = d + 1
+    bounds = [round(i * bits / nseg) for i in range(nseg + 1)]
+    all_sigs = np.concatenate([sigs, near]).astype(np.uint64)
+    max_bucket = 0
+    for i in range(nseg):
+        width = bounds[i + 1] - bounds[i]
+        vals = (all_sigs >> np.uint64(bounds[i])) & np.uint64((1 << width) - 1)
+        _, counts = np.unique(vals, return_counts=True)
+        max_bucket = max(max_bucket, int(counts.max()))
+    assert max_bucket < 40, f"hot bucket of {max_bucket} docs — blocking degenerated"
+
+
 def test_banded_lsh_recall_at_scale(spark):
     """10^5 clustered vectors: banded multi-probe LSH with band_bits scaled
     ~log2(n) must recover >= 0.9 of the exact top-k neighbors — the recall
