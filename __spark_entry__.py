@@ -779,6 +779,46 @@ def q_multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("media_id")
 
 
+def q_multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio decode(stub)+feature extraction (mapInPandas).  The stub feature
+    is the 16 md5 digest bytes scaled to [0,1] float32; multiplying back by
+    255 and rounding recovers the exact byte, so the integer byte-sum is a
+    bit-exact SQL-replayable check on the full feature vector."""
+    feats = mm.audio_features(_docs_as_media(spark, sf_dir, "audio"))
+    byte_sum = F.aggregate(
+        "feature",
+        F.lit(0),
+        lambda acc, x: acc + F.round(x.cast("double") * 255, 0).cast("int"),
+    )
+    return feats.select(
+        "media_id",
+        "duration_ms",
+        F.size("feature").alias("feat_dim"),
+        byte_sum.alias("byte_sum"),
+    ).orderBy("media_id")
+
+
+# Exact SQL replay of the md5-derived audio stub: the feature bytes are the
+# 16 md5(text) digest bytes (operators/multimodal.py:audio_features), so the
+# byte-sum recovered from the float32 features equals sum of digest bytes.
+_AUDIO_FEATURES_ORACLE_SQL = """
+WITH sgs_ax AS (
+  SELECT 'audio-' || CAST(doc_id AS VARCHAR) AS media_id,
+         CAST((((doc_id % 60) + 60) % 60 + 1) * 1000 AS INT) AS duration_ms,
+         md5(text) AS hx
+  FROM documents
+), sgs_bytes AS (
+  SELECT media_id, duration_ms,
+         (strpos('0123456789abcdef', substr(hx, 2 * u.i + 1, 1)) - 1) * 16
+         + (strpos('0123456789abcdef', substr(hx, 2 * u.i + 2, 1)) - 1) AS b
+  FROM sgs_ax CROSS JOIN (SELECT unnest(range(0, 16)) AS i) u
+)
+SELECT media_id, duration_ms, 16 AS feat_dim, CAST(sum(b) AS INT) AS byte_sum
+FROM sgs_bytes
+GROUP BY media_id, duration_ms
+ORDER BY media_id"""
+
+
 # Exact SQL replay of the md5-derived stub decoder: pixels are the 16 md5
 # digest bytes repeated x4 (operators/multimodal.py:_decode_image_stub), so
 # sum(px)=4*sum(b) and the float64 expression chain below is bit-identical to
@@ -860,6 +900,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup": q_embedding_neardup,
         "multimodal_frame_grid": q_multimodal_frame_grid,
         "multimodal_image_features": q_multimodal_image_features,
+        "multimodal_audio_features": q_multimodal_audio_features,
     }
 
 
@@ -1038,4 +1079,5 @@ ORDER BY l_returnflag, l_linestatus""",
             " FROM documents ORDER BY media_id"
         ),
         "multimodal_image_features": _IMAGE_FEATURES_ORACLE_SQL,
+        "multimodal_audio_features": _AUDIO_FEATURES_ORACLE_SQL,
     }

@@ -56,6 +56,43 @@ def salted_ddsketch_agg(
     return ddsketch_merge(level1.drop("_salt"), list(keys), config)
 
 
+def salted_rows_ddsketch_agg(
+    df: DataFrame,
+    value_col: str,
+    keys: Sequence[str],
+    config: DDSketchConfig | None = None,
+    num_salts: int = 16,
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Row-level salting for the 'repartition' build strategy under key skew.
+
+    ``ddsketch_agg(strategy='repartition')`` shuffles raw rows by the group
+    key, so a hot key (one conv_id holding a large share of all rows) lands
+    wholly in ONE task while every other core idles — the classic skew
+    bottleneck.  This topology appends a deterministic row salt
+    (hash(value) % num_salts), builds one sketch per (keys, salt) — the hot
+    key now splits across ``num_salts`` parallel tasks — and re-merges per
+    key.  Merge associativity makes the result exactly equal to the unsalted
+    build for non-collapsing sketches (asserted bin-for-bin in tests).
+
+    Use when groups are FEW and FAT and the repartition build is forced;
+    note that the map-side-combined strategies ('combine'/'bins') are
+    skew-IMMUNE by construction — a hot key fans out over its per-partition
+    partials / buckets — and are the first-choice answer to skew (measured:
+    BASELINE.md skew run).  ``salted_ddsketch_agg`` above addresses the
+    opposite regime (many tiny partials per group)."""
+    config = config or DDSketchConfig()
+    salt = F.pmod(F.xxhash64(F.col(value_col)), F.lit(num_salts))
+    cols = [value_col] + ([weight_col] if weight_col else [])
+    salted = (
+        df.select(*keys, *cols)
+        .withColumn("_salt", salt)
+        .repartition(*keys, "_salt")
+    )
+    level1 = ddsketch_partial(salted, value_col, [*keys, "_salt"], config, weight_col)
+    return ddsketch_merge(level1.drop("_salt"), list(keys), config)
+
+
 def explain_shuffles(df: DataFrame) -> str:
     """Debug helper: the executed plan's exchange nodes (what actually
     shuffles, with partitioning) — use while tuning."""

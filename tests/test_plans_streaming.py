@@ -12,7 +12,10 @@ from sketches_go_spark.core.ddsketch import DDSketch, DDSketchConfig
 from sketches_go_spark.core.encoding import decode_sketch
 from sketches_go_spark.functions import ddsketch_fns as dd
 from sketches_go_spark.plans.checkpoint import CheckpointedSketchJob
-from sketches_go_spark.plans.twophase import salted_ddsketch_agg
+from sketches_go_spark.plans.twophase import (
+    salted_ddsketch_agg,
+    salted_rows_ddsketch_agg,
+)
 from sketches_go_spark.streaming.stream_agg import (
     foreach_batch_quantiles,
     stateful_sketch_stream,
@@ -51,6 +54,23 @@ def test_salted_equals_unsalted(spark, skewed):
         # and both match a local sketch of the same rows
         core = DDSketch.from_values(pdf[pdf["g"] == g]["v"].to_numpy(), config=CFG)
         assert np.array_equal(a.pos_idx, core.pos_idx)
+
+
+def test_row_salted_equals_unsalted(spark, skewed):
+    """Row-level salting (the repartition-strategy skew fix) must produce
+    bin-for-bin identical sketches to the unsalted build."""
+    sdf, pdf = skewed
+    plain = dd.ddsketch_agg(sdf, "v", ["g"], CFG, strategy="repartition").collect()
+    salted = salted_rows_ddsketch_agg(sdf, "v", ["g"], CFG, num_salts=8).collect()
+    plain_m = {r["g"]: decode_sketch(bytes(r["sketch"])) for r in plain}
+    salt_m = {r["g"]: decode_sketch(bytes(r["sketch"])) for r in salted}
+    assert plain_m.keys() == salt_m.keys()
+    for g in plain_m:
+        a, b = plain_m[g], salt_m[g]
+        assert np.array_equal(a.pos_idx, b.pos_idx)
+        assert np.allclose(a.pos_cnt, b.pos_cnt)
+        assert a.count == pytest.approx(b.count)
+        assert a.exact_min == b.exact_min and a.exact_max == b.exact_max
 
 
 def test_checkpoint_resume_after_failure(spark, skewed, tmp_path):
