@@ -240,6 +240,41 @@ def test_change_mapping_rejects_interpolated(spark):
         dd.change_mapping_bins(df, ["g"], cfg_log, cfg_lin)
 
 
+@pytest.mark.parametrize("interp", ["linear", "cubic"])
+def test_interpolated_sketch_serialization_roundtrip(interp):
+    """Custom-codec and protobuf round-trips preserve the interpolated
+    mapping (gamma, offset, interpolation enum) and the full bin multiset —
+    the mapping subflag/enum dispatch, not just the logarithmic default."""
+    from sketches_go_spark.core.encoding import decode_sketch, encode_sketch
+    from sketches_go_spark.core.protobuf import decode_proto, encode_proto
+
+    cfg = DDSketchConfig(alpha=0.02, interpolation=interp)
+    rng = np.random.default_rng(23)
+    vals = np.concatenate([rng.lognormal(1, 2, 3000), -rng.lognormal(0, 1, 500)])
+    sk = DDSketch.from_values(vals, config=cfg)
+
+    back = decode_sketch(encode_sketch(sk))
+    assert type(back.mapping) is type(sk.mapping)
+    assert back.mapping.equals(sk.mapping)
+    assert np.array_equal(back.pos_idx, sk.pos_idx)
+    assert np.allclose(back.pos_cnt, sk.pos_cnt)
+    assert np.array_equal(back.neg_idx, sk.neg_idx)
+
+    pback = decode_proto(encode_proto(sk))
+    assert type(pback.mapping) is type(sk.mapping)
+    assert pback.mapping.equals(sk.mapping)
+    assert np.array_equal(pback.pos_idx, sk.pos_idx)
+    assert np.allclose(pback.pos_cnt, sk.pos_cnt)
+
+    # merge gate: decoded sketch merges with a same-config sketch...
+    other = DDSketch.from_values(rng.lognormal(1, 2, 100), config=cfg)
+    back.merge(other)
+    # ...and refuses a different-interpolation one
+    log_sk = DDSketch.from_values(vals[:100], config=DDSketchConfig(alpha=0.02))
+    with pytest.raises(ValueError):
+        back.merge(log_sk)
+
+
 def test_log_mapping_still_matches_core_closely(spark):
     """The log twin keeps its original (1-ulp-at-edges) contract: indexes
     must agree with the core except possibly exactly at bucket boundaries."""
