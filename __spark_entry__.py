@@ -649,6 +649,26 @@ def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def q_text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting both ways per document: whitespace tokens (replace-count
+    identity) and BPE-ish pretokenizer tokens (regexp_count) — the
+    training-data budget numbers."""
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        ops_text.token_count(F.col("text")).alias("ws_tokens"),
+        ops_text.bpe_token_count(F.col("text")).alias("bpe_tokens"),
+    ).orderBy("doc_id")
+
+
+def q_text_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing (rolling-hash family) fingerprint sets per document —
+    substring-level dedup keys; exact portable-hash oracle."""
+    return ops_text.winnow_fingerprints(_docs(spark, sf_dir), k=8, w=16).orderBy(
+        "doc_id", "fp"
+    )
+
+
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup: normalized-content fingerprint, canonical = min doc_id."""
     return dedup.exact_dedup(_docs(spark, sf_dir)).orderBy("doc_id")
@@ -888,6 +908,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ddsketch_change_mapping": q_ddsketch_change_mapping,
         "text_quality": q_text_quality,
         "text_langid": q_text_langid,
+        "text_token_counts": q_text_token_counts,
+        "text_winnow_fingerprints": q_text_winnow_fingerprints,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -1058,6 +1080,13 @@ ORDER BY l_returnflag, l_linestatus""",
         + " ORDER BY tool, sign, bucket",
         "text_quality": opl.quality_features_oracle(),
         "text_langid": opl.langid_markers_oracle(),
+        "text_token_counts": (
+            "SELECT doc_id, " + ops_text.token_count_sql("text") + " AS ws_tokens, "
+            + ops_text.bpe_token_count_sql("text")
+            + " AS bpe_tokens FROM documents ORDER BY doc_id"
+        ),
+        "text_winnow_fingerprints": ops_text.winnow_fingerprints_sql(k=8, w=16)
+        + " ORDER BY doc_id, fp",
         "dedup_exact": opl.exact_dedup_oracle(),
         "dedup_ngram_jaccard": opl.ngram_jaccard_oracle(threshold=0.5),
         "dedup_minhash_lsh": opl.minhash_lsh_oracle(threshold=0.5),

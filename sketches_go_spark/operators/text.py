@@ -68,6 +68,26 @@ def token_count_sql(expr: str) -> str:
     )
 
 
+# GPT-2-flavoured pretokenizer, lookahead-free so Java regex (Spark) and RE2
+# (DuckDB) agree match-for-match: letter runs / digit runs / punctuation runs,
+# each optionally absorbing one leading space, plus whitespace runs collapsed.
+BPE_ISH_PATTERN = r" ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+"
+
+
+def bpe_token_count(text: Column) -> Column:
+    """BPE-ish subword-boundary token count: the number of pretokenizer
+    matches (letter runs, digit runs, punctuation runs).  A cheap Catalyst
+    stand-in for a real BPE vocab pass — proportional to BPE token counts on
+    natural text, and exactly replayable cross-engine."""
+    return F.regexp_count(text, F.lit(BPE_ISH_PATTERN)).cast("int")
+
+
+def bpe_token_count_sql(expr: str) -> str:
+    return (
+        f"cast(length(regexp_extract_all({expr}, '{BPE_ISH_PATTERN}')) AS int)"
+    )
+
+
 STOPWORDS = ("the", "a", "of", "and", "to")
 
 
@@ -221,6 +241,84 @@ def langid_trigrams(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 # -------------------------------------------------------------- fingerprints
+def winnow_fingerprints(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    w: int = 16,
+    hash_fn=None,
+) -> DataFrame:
+    """Winnowing document fingerprints (the rolling-hash fingerprint family,
+    Schleimer/Wilkerson/Aiken): hash every k-gram of the normalized text and
+    keep the minimum hash of each w-window of consecutive positions; the
+    DISTINCT minima are the document's fingerprint set — near-identical
+    documents share most fingerprints, enabling substring-level dedup that
+    whole-doc hashing misses.
+
+    Output: (id, fp) distinct.
+
+    Pure Catalyst: sequence+explode generates the k-gram positions, the
+    rolling window is a plain window-min over position order within the doc
+    (the doc is the partition key — parallel across docs, the right unit at
+    corpus scale), DISTINCT collapses the window overlaps.  The default hash
+    is the portable 60-bit hash so a DuckDB oracle replays the exact
+    fingerprint set; production passes ``hash_fn=F.xxhash64`` (JVM-intrinsic,
+    and a true O(1)-per-step rolling polynomial drops in at the same seam if
+    gram hashing ever dominates — output semantics identical)."""
+    from pyspark.sql.window import Window
+
+    hash_fn = hash_fn or (lambda c: portable_hash64(c, "wn:"))
+    s = F.lower(F.trim(_col(text_col)))
+    grams = df.select(
+        _col(id_col).alias(id_col),
+        F.explode(
+            F.sequence(F.lit(1), F.greatest(F.length(s) - k + 1, F.lit(1)))
+        ).alias("i"),
+        s.alias("_s"),
+    ).select(
+        id_col, "i", hash_fn(F.substring(F.col("_s"), F.col("i"), k)).alias("h")
+    )
+    win = (
+        Window.partitionBy(id_col)
+        .orderBy("i")
+        .rowsBetween(Window.currentRow, w - 1)
+    )
+    return (
+        grams.select(id_col, F.min("h").over(win).alias("fp"))
+        .distinct()
+    )
+
+
+def winnow_fingerprints_sql(
+    src: str = "documents", id_col: str = "doc_id", text_col: str = "text",
+    k: int = 8, w: int = 16,
+) -> str:
+    """DuckDB twin of :func:`winnow_fingerprints` (portable hash, same
+    window-min + distinct)."""
+    h = (
+        f"cast(concat('0x', substr(md5(concat('wn:', "
+        f"cast(substr(s, i, {k}) as string))), 1, 15)) as bigint)"
+    )
+    return f"""WITH sgs_docs AS (
+  SELECT {id_col}, lower(trim({text_col})) AS s FROM {src}
+),
+sgs_grams AS (
+  SELECT {id_col}, u.i, {h} AS h
+  FROM sgs_docs
+  CROSS JOIN LATERAL (
+    SELECT unnest(range(1, greatest(length(s) - {k} + 1, 1) + 1)) AS i
+  ) u
+),
+sgs_mins AS (
+  SELECT {id_col},
+         min(h) OVER (PARTITION BY {id_col} ORDER BY i
+                      ROWS BETWEEN CURRENT ROW AND {w - 1} FOLLOWING) AS fp
+  FROM sgs_grams
+)
+SELECT DISTINCT {id_col}, fp FROM sgs_mins"""
+
+
 def doc_fingerprint(text: Column) -> Column:
     """Deterministic 60-bit content fingerprint of the normalized text —
     exact-dedup key, identical in SQL via the portable hash."""

@@ -129,6 +129,58 @@ def test_simhash_pigeonhole_complete_recall(spark):
     assert any((int(sigs[a]) ^ int(sigs[b])) >> (bits - 8) != 0 for a, b in got)
 
 
+def test_winnow_fingerprint_overlap(spark):
+    """Winnowing guarantees: a document sharing a long substring with another
+    shares fingerprints (the whole point vs whole-doc hashing); disjoint
+    content shares ~none; a doc is a near-complete fingerprint superset of
+    its own prefix."""
+    from sketches_go_spark.operators import text as ops_text
+
+    base = "the quick brown fox jumps over the lazy dog and runs far away today"
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "text": [
+                base,
+                base + " with an extra tail sentence appended here",
+                "completely different content about skyscrapers and violins!!",
+                base[:40],
+            ],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    fps = ops_text.winnow_fingerprints(df, k=8, w=4).toPandas()
+    sets = {d: set(g["fp"]) for d, g in fps.groupby("doc_id")}
+    # shared long substring -> high overlap
+    assert len(sets[1] & sets[2]) / len(sets[1]) > 0.7
+    # disjoint content -> no overlap
+    assert not (sets[1] & sets[3])
+    # prefix doc's fingerprints mostly contained in the full doc's
+    assert len(sets[4] & sets[1]) / len(sets[4]) > 0.6
+
+
+def test_bpe_token_count_examples(spark):
+    from sketches_go_spark.operators import text as ops_text
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "text": ["hello world", "it's 2024, ok?!", "", "  a  b  "],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    out = (
+        df.select("doc_id", ops_text.bpe_token_count(F.col("text")).alias("n"))
+        .toPandas()
+        .set_index("doc_id")["n"]
+    )
+    # "hello"," world" -> 2 ; "it","'","s"," 2024",","," ok","?!" -> 7
+    assert out[1] == 2
+    assert out[2] == 7
+    assert out[3] == 0
+    assert out[4] == 2
+
+
 def test_pigeonhole_bounded_buckets_at_scale(spark):
     """10^5 random 60-bit fingerprints + 300 planted near-dups: the
     pigeonhole join must (a) recover every planted pair — losslessness at
