@@ -63,6 +63,38 @@ def _ticks() -> tuple[int, int]:
     return sum(vals), vals[7]
 
 
+def _run_scaling() -> dict:
+    """Two-parallelism scaling levels in fresh subprocess JVMs, tagged with
+    the hypervisor steal%% observed during each run.  Runs FIRST, before the
+    query pipeline touches the page cache or catches an interference wave —
+    measured round 3: the same job after the full pipeline read 8.4M turns/s
+    where a clean-window run reads 43M (the window, not the code)."""
+    import scaling_bench as sb
+
+    def _measure_tagged(cores: int) -> dict:
+        t0, s0 = _ticks()
+        rec = sb.measure(cores, cache2, SCALING_TURNS, reps=3)
+        t1, s1 = _ticks()
+        rec["steal_pct"] = round(100.0 * (s1 - s0) / max(t1 - t0, 1), 2)
+        return rec
+
+    cache2 = sb.materialize(SCALING_TURNS)
+    low = _measure_tagged(8)
+    high = _measure_tagged(32)
+    speedup = low["best_sec"] / high["best_sec"]
+    return {
+        "turns": SCALING_TURNS,
+        "local8_turns_per_sec": low["turns_per_sec"],
+        "local8_steal_pct": low["steal_pct"],
+        "local32_turns_per_sec": high["turns_per_sec"],
+        "local32_steal_pct": high["steal_pct"],
+        "speedup_8_to_32": round(speedup, 3),
+        "efficiency": round(speedup / 4.0, 3),
+        "target": 0.8,
+        "caveat": "shared host; see BASELINE.md host-capacity audit",
+    }
+
+
 def main() -> None:
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     from pyspark.sql import functions as F
@@ -73,6 +105,9 @@ def main() -> None:
     from sketches_go_spark.functions import sketch_fns as sk
     from sketches_go_spark.plans.session import get_spark
     from sketches_go_spark.sources.transcripts import synth_transcripts
+
+    # scaling levels first — cleanest window (see _run_scaling docstring)
+    scaling = _run_scaling() if SCALING else None
 
     spark = get_spark(cores=CPUS, shuffle_partitions=2 * CPUS, app_name="sgs-bench")
     spark.sparkContext.setLogLevel("ERROR")
@@ -264,40 +299,6 @@ def main() -> None:
             name: round(t - prev["queries"][name], 3)
             for name, t in timings.items()
             if name in prev["queries"]
-        }
-
-    scaling = None
-    if SCALING:
-        # fresh JVM per level (the main session above is stopped) — the same
-        # relational sketch job at local[8] vs local[32], evidencing the
-        # north rule's N -> 4N criterion; full protocol in scaling_bench.py.
-        # Each level is tagged with the hypervisor steal%% observed during
-        # the run: this box is SHARED and intermittently oversubscribed
-        # (see BASELINE.md "host capacity audit"), so any single round's
-        # efficiency number must be read against its contamination tags.
-        import scaling_bench as sb
-
-        def _measure_tagged(cores: int) -> dict:
-            t0, s0 = _ticks()
-            rec = sb.measure(cores, cache2, SCALING_TURNS, reps=3)
-            t1, s1 = _ticks()
-            rec["steal_pct"] = round(100.0 * (s1 - s0) / max(t1 - t0, 1), 2)
-            return rec
-
-        cache2 = sb.materialize(SCALING_TURNS)
-        low = _measure_tagged(8)
-        high = _measure_tagged(32)
-        speedup = low["best_sec"] / high["best_sec"]
-        scaling = {
-            "turns": SCALING_TURNS,
-            "local8_turns_per_sec": low["turns_per_sec"],
-            "local8_steal_pct": low["steal_pct"],
-            "local32_turns_per_sec": high["turns_per_sec"],
-            "local32_steal_pct": high["steal_pct"],
-            "speedup_8_to_32": round(speedup, 3),
-            "efficiency": round(speedup / 4.0, 3),
-            "target": 0.8,
-            "caveat": "shared host; see BASELINE.md host-capacity audit",
         }
 
     print(
