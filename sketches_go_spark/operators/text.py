@@ -258,35 +258,32 @@ def winnow_fingerprints(
 
     Output: (id, fp) distinct.
 
-    Pure Catalyst: sequence+explode generates the k-gram positions, the
-    rolling window is a plain window-min over position order within the doc
-    (the doc is the partition key — parallel across docs, the right unit at
-    corpus scale), DISTINCT collapses the window overlaps.  The default hash
-    is the portable 60-bit hash so a DuckDB oracle replays the exact
-    fingerprint set; production passes ``hash_fn=F.xxhash64`` (JVM-intrinsic,
-    and a true O(1)-per-step rolling polynomial drops in at the same seam if
-    gram hashing ever dominates — output semantics identical)."""
-    from pyspark.sql.window import Window
-
+    ZERO-SHUFFLE Catalyst: every k-gram of a document lives in that
+    document's own row, so the whole fingerprint set is computed per row
+    with higher-order functions — transform(sequence) hashes the k-grams
+    into an array, a second transform takes each w-window's array_min
+    (slice truncates at the tail, matching the window-frame semantics), and
+    array_distinct collapses the overlaps before explode.  No Exchange
+    anywhere in the plan (asserted in tests): at corpus scale the
+    alternative window-min formulation shuffles |text| hash rows per doc.
+    The default hash is the portable 60-bit hash so a DuckDB oracle replays
+    the exact fingerprint set; production passes ``hash_fn=F.xxhash64``
+    (JVM-intrinsic; a true O(1)-per-step rolling polynomial drops in at the
+    same seam if gram hashing ever dominates — output semantics identical)."""
     hash_fn = hash_fn or (lambda c: portable_hash64(c, "wn:"))
     s = F.lower(F.trim(_col(text_col)))
-    grams = df.select(
-        _col(id_col).alias(id_col),
-        F.explode(
-            F.sequence(F.lit(1), F.greatest(F.length(s) - k + 1, F.lit(1)))
-        ).alias("i"),
-        s.alias("_s"),
-    ).select(
-        id_col, "i", hash_fn(F.substring(F.col("_s"), F.col("i"), k)).alias("h")
+    d = df.select(_col(id_col).alias(id_col), s.alias("_s"))
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.length(F.col("_s")) - k + 1, F.lit(1))),
+        lambda i: hash_fn(F.col("_s").substr(i, F.lit(k))),
     )
-    win = (
-        Window.partitionBy(id_col)
-        .orderBy("i")
-        .rowsBetween(Window.currentRow, w - 1)
+    d = d.select(id_col, grams.alias("_h"))
+    window_mins = F.transform(
+        F.sequence(F.lit(1), F.size(F.col("_h"))),
+        lambda i: F.array_min(F.slice(F.col("_h"), i, w)),
     )
-    return (
-        grams.select(id_col, F.min("h").over(win).alias("fp"))
-        .distinct()
+    return d.select(
+        id_col, F.explode(F.array_distinct(window_mins)).alias("fp")
     )
 
 

@@ -159,6 +159,21 @@ def test_winnow_fingerprint_overlap(spark):
     assert len(sets[4] & sets[1]) / len(sets[4]) > 0.6
 
 
+def test_winnow_plan_is_shuffle_and_python_free(spark):
+    """The per-row higher-order-function formulation must compile to a plan
+    with NO Exchange (each doc's fingerprints derive from its own row) and
+    no Python eval — the property that makes it linear at corpus scale."""
+    from sketches_go_spark.operators import text as ops_text
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = (
+        ops_text.winnow_fingerprints(docs, k=8, w=16)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
 def test_bpe_token_count_examples(spark):
     from sketches_go_spark.operators import text as ops_text
 
