@@ -799,6 +799,43 @@ def q_multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("media_id")
 
 
+def q_multimodal_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize plumbing: fit-in-256-box output dims from metadata (integer
+    math, payload never needed for planning) + stub 2x2-pooled thumbnail;
+    the pooled pixel total is exactly replayable from md5 byte sums."""
+    out = mm.image_resize(_docs_as_media(spark, sf_dir, "image"), box=256)
+    return out.select(
+        "media_id",
+        "out_w",
+        "out_h",
+        F.length("thumb").alias("thumb_bytes"),
+        "px_sum",
+    ).orderBy("media_id")
+
+
+_IMAGE_RESIZE_ORACLE_SQL = """
+WITH sgs_px AS (
+  SELECT 'image-' || CAST(doc_id AS VARCHAR) AS media_id,
+         CAST(((doc_id % 1920) + 1920) % 1920 + 1 AS INT) AS w,
+         CAST(((doc_id % 1080) + 1080) % 1080 + 1 AS INT) AS h,
+         md5(text) AS hx
+  FROM documents
+), sgs_bytes AS (
+  SELECT media_id, w, h,
+         (strpos('0123456789abcdef', substr(hx, 2 * u.i + 1, 1)) - 1) * 16
+         + (strpos('0123456789abcdef', substr(hx, 2 * u.i + 2, 1)) - 1) AS b
+  FROM sgs_px CROSS JOIN (SELECT unnest(range(0, 16)) AS i) u
+)
+SELECT media_id,
+       CAST(greatest((w * 256) // greatest(w, h), 1) AS INT) AS out_w,
+       CAST(greatest((h * 256) // greatest(w, h), 1) AS INT) AS out_h,
+       16 AS thumb_bytes,
+       CAST(4 * sum(b) AS INT) AS px_sum
+FROM sgs_bytes
+GROUP BY media_id, w, h
+ORDER BY media_id"""
+
+
 def q_multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio decode(stub)+feature extraction (mapInPandas).  The stub feature
     is the 16 md5 digest bytes scaled to [0,1] float32; multiplying back by
@@ -923,6 +960,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_frame_grid": q_multimodal_frame_grid,
         "multimodal_image_features": q_multimodal_image_features,
         "multimodal_audio_features": q_multimodal_audio_features,
+        "multimodal_image_resize": q_multimodal_image_resize,
     }
 
 
@@ -1109,4 +1147,5 @@ ORDER BY l_returnflag, l_linestatus""",
         ),
         "multimodal_image_features": _IMAGE_FEATURES_ORACLE_SQL,
         "multimodal_audio_features": _AUDIO_FEATURES_ORACLE_SQL,
+        "multimodal_image_resize": _IMAGE_RESIZE_ORACLE_SQL,
     }

@@ -174,6 +174,59 @@ def frame_sample(df: DataFrame, every_ms: int = 1000) -> DataFrame:
     return exploded.mapInPandas(cut, schema=out_schema)
 
 
+def image_resize(
+    df: DataFrame, box: int = 256, batch_size_hint: int = 256
+) -> DataFrame:
+    """Image resize plumbing: fit-in-box output dimensions from the metadata
+    columns (integer math — no decode needed to plan storage), plus the
+    resized payload from the (stub) decoder.
+
+    Output: media_id, out_w, out_h, thumb (binary), px_sum.
+
+    The dimension math is pure integer arithmetic so metadata-only pipelines
+    (e.g. sizing a thumbnail store) never touch payload bytes: ``out_d =
+    max(d * box // max(width, height), 1)``.  The stub 'resize' is 2x2 mean
+    pooling of the 8x8 stub image to 4x4 — deterministic integer sums, so
+    ``px_sum`` (the pooled total, = sum of all source pixels) is exactly
+    replayable in SQL from the md5 byte sums.  Production swaps the stub for
+    PIL/libvips ``thumbnail()`` at the same seam; the Spark-side batching,
+    schema, and metadata pruning are the real, tested plumbing."""
+    out_schema = StructType(
+        [
+            StructField("media_id", StringType()),
+            StructField("out_w", IntegerType()),
+            StructField("out_h", IntegerType()),
+            StructField("thumb", BinaryType()),
+            StructField("px_sum", IntegerType()),
+        ]
+    )
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples():
+                img = _decode_image_stub(r.payload).astype(np.int64)
+                pooled = img.reshape(4, 2, 4, 2).sum(axis=(1, 3))  # 2x2 sums
+                longest = max(int(r.width), int(r.height), 1)
+                out_w = max(int(r.width) * box // longest, 1)
+                out_h = max(int(r.height) * box // longest, 1)
+                rows.append(
+                    (
+                        r.media_id,
+                        out_w,
+                        out_h,
+                        (pooled // 4).astype(np.uint8).tobytes(),
+                        int(pooled.sum()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=["media_id", "out_w", "out_h", "thumb", "px_sum"]
+            )
+
+    cols = ["media_id", "width", "height", "payload"]
+    return df.select(*cols).mapInPandas(resize, schema=out_schema)
+
+
 def audio_features(df: DataFrame) -> DataFrame:
     """Audio feature plumbing (stub decode -> fake 16-dim feature)."""
     out_schema = StructType(

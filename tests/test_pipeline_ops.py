@@ -159,6 +159,29 @@ def test_winnow_fingerprint_overlap(spark):
     assert len(sets[4] & sets[1]) / len(sets[4]) > 0.6
 
 
+def test_image_resize_plumbing(spark):
+    """Resize invariants: fit-in-box dims (longest side == box unless the
+    source is smaller in that integer math), 16-byte 4x4 thumb, px_sum
+    equals the source pixel total, thumb bytes are the 2x2 means."""
+    import numpy as np
+    from sketches_go_spark.operators import multimodal as mm
+
+    media = mm.synth_media(spark, 24, kind="image")
+    out = mm.image_resize(media, box=256).toPandas().set_index("media_id")
+    src = media.toPandas().set_index("media_id")
+    for mid, r in out.iterrows():
+        w, h = int(src.loc[mid, "width"]), int(src.loc[mid, "height"])
+        assert r["out_w"] == max(w * 256 // max(w, h), 1)
+        assert r["out_h"] == max(h * 256 // max(w, h), 1)
+        assert max(r["out_w"], r["out_h"]) <= 256
+        img = mm._decode_image_stub(bytes(src.loc[mid, "payload"])).astype(np.int64)
+        assert r["px_sum"] == img.sum()
+        thumb = np.frombuffer(bytes(r["thumb"]), dtype=np.uint8).reshape(4, 4)
+        assert np.array_equal(
+            thumb, (img.reshape(4, 2, 4, 2).sum(axis=(1, 3)) // 4).astype(np.uint8)
+        )
+
+
 def test_winnow_plan_is_shuffle_and_python_free(spark):
     """The per-row higher-order-function formulation must compile to a plan
     with NO Exchange (each doc's fingerprints derive from its own row) and
