@@ -289,6 +289,32 @@ def q_ddsketch_daily_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("day", "event_type", "q")
 
 
+_CUBE_LO, _CUBE_HI = "2024-01-08", "2024-01-21"
+
+
+def q_ddsketch_cube_range_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch cube (the OLAP pattern mergeability buys at 100 TB): the
+    (day, event_type) bins cube is precomputed once; ANY date-range quantile
+    is then answered by rolling the tiny cube up over the day dimension —
+    the raw events are never rescanned, so interactive range queries cost
+    O(cube rows), not O(data).  Exactness of the pattern: bins are a
+    sum-monoid, so cube-filter-rollup equals bins built directly on the
+    filtered data — the oracle computes the latter."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        F.substring(F.col("ts").cast("string"), 1, 10).alias("day"),
+        "event_type",
+        F.col("value").cast("double").alias("v"),
+    )
+    cube = dd.build_bins(ev, "v", ["day", "event_type"], CFG)
+    in_range = cube.where(
+        (F.col("day") >= _CUBE_LO) & (F.col("day") <= _CUBE_HI)
+    )
+    rolled = dd.rollup_bins(in_range, ["day", "event_type"], ["event_type"])
+    return dd.quantiles_from_bins(rolled, ["event_type"], QS, CFG).orderBy(
+        "event_type", "q"
+    )
+
+
 # ----------------------------------------------------- companion sketches
 _TOOL_ITEMS_SQL = (
     f"SELECT tool AS item FROM {_TRANSCRIPTS} t WHERE tool IS NOT NULL"
@@ -922,7 +948,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ddsketch_udaf_textlen_by_role": q_ddsketch_udaf_textlen_by_role,
         "ddsketch_proto_roundtrip": q_ddsketch_proto_roundtrip,
         "ddsketch_udaf_bins_strategy": q_ddsketch_udaf_bins_strategy,
+        "ddsketch_cube_range_quantiles": oracles.ddsketch_quantiles_sql(
+            "SELECT event_type, cast(value AS double) AS v FROM events "
+            f"WHERE substr(cast(ts AS string), 1, 10) >= '{_CUBE_LO}' "
+            f"AND substr(cast(ts AS string), 1, 10) <= '{_CUBE_HI}'",
+            ["event_type"], QS, CFG, order_by="event_type, q",
+        ),
         "ddsketch_daily_quantiles": q_ddsketch_daily_quantiles,
+        "ddsketch_cube_range_quantiles": q_ddsketch_cube_range_quantiles,
         "ddsketch_collapsed_bins": q_ddsketch_collapsed_bins,
         "ddsketch_collapsed_highest_bins": q_ddsketch_collapsed_highest_bins,
         "ddsketch_weighted_bins": q_ddsketch_weighted_bins,
