@@ -738,6 +738,17 @@ def q_dedup_simhash_pairs_global(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
+def q_kmeans_assign_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic relational Lloyd's k-means (3 iterations, k=8) over the
+    embeddings — an ITERATIVE algorithm with an exact cross-engine oracle:
+    integer-grid quantization makes every cross-row sum order-free, so the
+    DuckDB replay of the same iterations is bit-identical (operators/
+    similarity.py::kmeans_fit).  This is the trained-codebook seam the IVF
+    index documents."""
+    assign, _ = sim.kmeans_fit(_embs(spark, sf_dir), k=8, iters=3)
+    return assign.orderBy("vec_id")
+
+
 def q_sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine top-5 neighbors for the first 5 vectors (baseline)."""
     embs = _embs(spark, sf_dir)
@@ -986,6 +997,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": q_dedup_simhash,
         "dedup_simhash_pairs": q_dedup_simhash_pairs,
         "dedup_simhash_pairs_global": q_dedup_simhash_pairs_global,
+        "kmeans_assign_embeddings": q_kmeans_assign_embeddings,
         "sim_topk_bruteforce": q_sim_topk_bruteforce,
         "sim_ann_lsh": q_sim_ann_lsh,
         "sim_ivf_topk": q_sim_ivf_topk,
@@ -1164,6 +1176,7 @@ ORDER BY l_returnflag, l_linestatus""",
         "dedup_simhash": opl.simhash_oracle(),
         "dedup_simhash_pairs": opl.simhash_pairs_oracle(max_hamming=1),
         "dedup_simhash_pairs_global": opl.simhash_pairs_global_oracle(max_hamming=3),
+        "kmeans_assign_embeddings": sim.kmeans_oracle_sql(k=8, iters=3),
         "sim_topk_bruteforce": opl.brute_force_topk_oracle(),
         "sim_ann_lsh": opl.lsh_ann_topk_oracle(),
         "sim_ivf_topk": opl.ivf_topk_oracle(n_centroids=16, nprobe=4),

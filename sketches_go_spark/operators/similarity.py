@@ -31,6 +31,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from sketches_go_spark.functions.expressions import portable_hash64
+
 
 def _col(c: str | Column) -> Column:
     return F.col(c) if isinstance(c, str) else c
@@ -328,3 +330,178 @@ def ivf_topk(
         .where(F.col("rank") <= k)
         .select(query_id_col, "rank", id_col, "sim")
     )
+
+
+# ------------------------------------------------------------------- k-means
+def kmeans_fit(
+    vectors: DataFrame,
+    k: int = 8,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale_bits: int = 14,
+):
+    """Deterministic relational Lloyd's k-means — the trained-codebook seam
+    the IVF index documents.
+
+    Every arithmetic step is chosen so the result is bit-identical on ANY
+    engine and under ANY partitioning / aggregation order, which is what
+    makes an exact cross-engine oracle possible for an *iterative* algorithm:
+
+    - vectors are quantized once to an integer grid ``q = round(v * 2^scale_bits)``
+      (bigint) — all cross-row accumulation then happens in exact integer
+      arithmetic, which is order-free;
+    - a centroid is carried as the exact rational ``(s, n)`` (elementwise
+      integer sum + member count), never as floats;
+    - the squared distance to centroid j is compared via the integer
+      ``I_j = sum_pos (q*n_j - s_j)^2`` divided by double ``(n_j*n_j)`` — one
+      deterministic float op per (vector, centroid); ties break to the
+      lowest cluster id.  Overflow bound (ANSI mode): requires
+      ``dim * (2 * n * 2^scale_bits * max|v|)^2 < 2^63``.
+
+    Initialization: the ``k`` vectors with the smallest portable hash of
+    their id — deterministic pseudo-random seeds, independent of data order
+    (first-k seeding degenerates when input ids are grouped by latent
+    cluster).  Empty clusters simply drop out (deterministically on both
+    engines).  Returns ``(assignments, cent)``
+    where assignments = (id, cluster) and cent = the final (cluster, s, n)
+    DataFrame; the float centroid of cluster j is ``s/n / 2^scale_bits``.
+
+    Scale shape: each iteration is one broadcast join (k centroid rows)
+    plus one integer groupBy — no UDFs, no driver-side data movement; the
+    lineage grows linearly with ``iters`` (checkpoint every ~10 for long
+    runs)."""
+    scale = float(1 << scale_bits)
+    q = F.transform(
+        F.col(vec_col),
+        lambda x: F.round(x.cast("double") * F.lit(scale), 0).cast("bigint"),
+    )
+    qdf = vectors.select(F.col(id_col).alias("_id"), q.alias("_q"))
+
+    # distributed top-k seed selection (TakeOrderedAndProject — no global
+    # window over the full relation); the numbering window then runs on the
+    # k seed rows only
+    seed_h = portable_hash64(F.col("_id").cast("string"), "km:")
+    seeds = (
+        qdf.select("_id", "_q", seed_h.alias("_h"))
+        .orderBy(F.col("_h").asc(), F.col("_id").asc())
+        .limit(k)
+    )
+    w_seed = Window.orderBy(F.col("_h").asc(), F.col("_id").asc())
+    cent = seeds.withColumn("_rn", F.row_number().over(w_seed)).select(
+        (F.col("_rn") - 1).cast("int").alias("cluster"),
+        F.col("_q").alias("_s"),
+        F.lit(1).cast("bigint").alias("_n"),
+    )
+
+    assign = None
+    for _ in range(iters):
+        # integer distance numerator, folded in array order (deterministic)
+        dist_i = F.aggregate(
+            F.zip_with(
+                F.col("_q"),
+                F.col("_s"),
+                lambda a, b: (a * F.col("_n") - b) * (a * F.col("_n") - b),
+            ),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        )
+        dist = dist_i.cast("double") / (F.col("_n") * F.col("_n")).cast("double")
+        w = Window.partitionBy("_id").orderBy(
+            F.col("_dist").asc(), F.col("cluster").asc()
+        )
+        assign = (
+            qdf.join(F.broadcast(cent), how="cross")
+            .select("_id", "_q", "cluster", dist.alias("_dist"))
+            .withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .select("_id", "_q", "cluster")
+        )
+        # exact integer centroid update: per-(cluster, pos) sums are
+        # order-free, re-assembled into arrays sorted by position
+        cent = (
+            assign.select("cluster", F.posexplode(F.col("_q")).alias("_pos", "_qv"))
+            .groupBy("cluster", "_pos")
+            .agg(F.sum("_qv").alias("_sv"), F.count(F.lit(1)).alias("_n"))
+            .groupBy("cluster")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("_pos", "_sv"))),
+                    lambda st: st.getField("_sv"),
+                ).alias("_s"),
+                F.first("_n").alias("_n"),
+            )
+        )
+
+    assignments = assign.select(
+        F.col("_id").alias(id_col), F.col("cluster")
+    )
+    return assignments, cent
+
+
+def kmeans_oracle_sql(
+    src: str = "embeddings",
+    k: int = 8,
+    iters: int = 3,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale_bits: int = 14,
+) -> str:
+    """DuckDB replay of :func:`kmeans_fit` — same integer grid, same exact
+    rational centroids, same tie-breaks, iteration by CTE chaining."""
+    scale = float(1 << scale_bits)
+    sql = [
+        f"""WITH sgs_q AS (
+  SELECT {id_col} AS id,
+         list_transform({vec_col},
+           x -> cast(round(cast(x AS double) * {scale}) AS bigint)) AS q
+  FROM {src}
+),
+sgs_c0 AS (
+  SELECT cast(rn - 1 AS int) AS cluster, q AS s, cast(1 AS bigint) AS n
+  FROM (
+    SELECT q, row_number() OVER (ORDER BY h ASC, id ASC) AS rn
+    FROM (
+      SELECT id, q,
+             cast(concat('0x', substr(md5(concat('km:', cast(id AS string))),
+                                      1, 15)) AS bigint) AS h
+      FROM sgs_q
+    )
+  ) WHERE rn <= {k}
+)"""
+    ]
+    prev = "sgs_c0"
+    for it in range(iters):
+        dist = (
+            f"cast(list_sum(list_transform(range(1, {dim + 1}), "
+            f"p -> (q.q[p] * c.n - c.s[p]) * (q.q[p] * c.n - c.s[p]))) AS double)"
+            f" / cast(c.n * c.n AS double)"
+        )
+        sql.append(f""",
+sgs_a{it} AS (
+  SELECT id, cluster FROM (
+    SELECT q.id, c.cluster,
+           row_number() OVER (PARTITION BY q.id
+                              ORDER BY {dist} ASC, c.cluster ASC) AS rn
+    FROM sgs_q q CROSS JOIN {prev} c
+  ) WHERE rn = 1
+)""")
+        if it < iters - 1:
+            sql.append(f""",
+sgs_c{it + 1} AS (
+  SELECT cluster,
+         list(sv ORDER BY pos) AS s,
+         any_value(n) AS n
+  FROM (
+    SELECT a.cluster, u.pos, sum(q.q[u.pos]) AS sv, count(*) AS n
+    FROM sgs_a{it} a JOIN sgs_q q USING (id)
+    CROSS JOIN (SELECT unnest(range(1, {dim + 1})) AS pos) u
+    GROUP BY a.cluster, u.pos
+  ) GROUP BY cluster
+)""")
+            prev = f"sgs_c{it + 1}"
+    sql.append(
+        f"\nSELECT id AS {id_col}, cluster FROM sgs_a{iters - 1} ORDER BY {id_col}"
+    )
+    return "".join(sql)

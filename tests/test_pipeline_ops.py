@@ -159,6 +159,43 @@ def test_winnow_fingerprint_overlap(spark):
     assert len(sets[4] & sets[1]) / len(sets[4]) > 0.6
 
 
+def test_kmeans_recovers_clusters_and_is_partition_invariant(spark):
+    """Lloyd's k-means on well-separated synthetic clusters: assignments
+    must (a) be pure (every true cluster maps to one learned cluster),
+    (b) be identical under a different input partitioning — the
+    determinism the integer-grid arithmetic exists to guarantee."""
+    from sketches_go_spark.operators import similarity as sim
+
+    rng = np.random.default_rng(5)
+    k, per, dim = 4, 120, 16
+    centers = rng.normal(size=(k, dim)) * 2.0
+    vecs = np.repeat(centers, per, axis=0) + rng.normal(
+        scale=0.05, size=(k * per, dim)
+    )
+    pdf = pd.DataFrame(
+        {
+            "vec_id": np.arange(k * per),
+            "embedding": [r.astype(np.float32).tolist() for r in vecs],
+            "true_cl": np.repeat(np.arange(k), per),
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    a1, cent = sim.kmeans_fit(df, k=k, iters=5, scale_bits=10)
+    got1 = a1.orderBy("vec_id").toPandas()
+    # purity: each true cluster lands (almost) wholly in one learned cluster
+    merged = got1.merge(pdf[["vec_id", "true_cl"]], on="vec_id")
+    purity = (
+        merged.groupby("true_cl")["cluster"]
+        .agg(lambda s: s.value_counts().iloc[0] / len(s))
+        .min()
+    )
+    assert purity > 0.95
+    # partition invariance: identical assignments from a different layout
+    a2, _ = sim.kmeans_fit(df.repartition(13), k=k, iters=5, scale_bits=10)
+    got2 = a2.orderBy("vec_id").toPandas()
+    assert got1["cluster"].tolist() == got2["cluster"].tolist()
+
+
 def test_image_resize_plumbing(spark):
     """Resize invariants: fit-in-box dims (longest side == box unless the
     source is smaller in that integer math), 16-byte 4x4 thumb, px_sum
