@@ -287,18 +287,24 @@ def ivf_topk(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     sim_decimals: int = 4,
+    centroids: Sequence[Sequence[float]] | None = None,
 ) -> DataFrame:
     """IVF-style ANN: vectors are assigned to their argmax-dot coarse cell
     (an inverted file); each query probes its ``nprobe`` best cells and is
     refined by exact cosine within them.  The complement of the LSH variant:
-    data-aware-ish cells (a fixed deterministic codebook here — production
-    swaps in trained k-means centroids, the plumbing is identical), recall
-    tuned by nprobe instead of bands.
+    data-aware cells, recall tuned by nprobe instead of bands.
+
+    ``centroids``: pass a trained codebook (e.g. from :func:`kmeans_fit` —
+    ``[[s/n/2**scale_bits for s in row] ...]``); default is the fixed
+    deterministic pseudo-random codebook the DuckDB oracle replays.
 
     Scale shape: the cell id is a single int join key; cell population is
     ~n/n_centroids, so n_centroids should grow ~n/target_cell_size, and the
     probe join touches nprobe cells per query."""
-    cents = [ivf_centroid(c, dim) for c in range(n_centroids)]
+    if centroids is not None:
+        cents = [list(map(float, c)) for c in centroids]
+    else:
+        cents = [ivf_centroid(c, dim) for c in range(n_centroids)]
     vdots = ivf_cell_dots_expr(F.col(vec_col), cents)
     # argmax = first position of the max (deterministic tie-break)
     vcell = (F.array_position(vdots, F.array_max(vdots)) - 1).cast("int")
@@ -437,6 +443,15 @@ def kmeans_fit(
         F.col("_id").alias(id_col), F.col("cluster")
     )
     return assignments, cent
+
+
+def kmeans_centroids(cent_df: DataFrame, scale_bits: int = 14) -> list[list[float]]:
+    """Materialize :func:`kmeans_fit`'s exact-rational centroid relation into
+    the float codebook ``ivf_topk(centroids=...)`` consumes (k x dim — tiny,
+    the one collect in the pipeline)."""
+    scale = float(1 << scale_bits)
+    rows = cent_df.orderBy("cluster").collect()
+    return [[float(s) / float(r["_n"]) / scale for s in r["_s"]] for r in rows]
 
 
 def kmeans_oracle_sql(

@@ -196,6 +196,49 @@ def test_kmeans_recovers_clusters_and_is_partition_invariant(spark):
     assert got1["cluster"].tolist() == got2["cluster"].tolist()
 
 
+def test_ivf_with_trained_codebook_beats_fixed(spark):
+    """End-to-end trained-IVF: k-means centroids as the codebook must give
+    better (or equal) recall@k at nprobe=1 than the fixed pseudo-random
+    codebook on clustered data — the payoff of the training seam."""
+    from sketches_go_spark.operators import similarity as sim
+
+    rng = np.random.default_rng(9)
+    kc, per, dim = 8, 150, 16
+    centers = rng.normal(size=(kc, dim)) * 2.0
+    vecs = np.repeat(centers, per, axis=0) + rng.normal(
+        scale=0.1, size=(kc * per, dim)
+    )
+    pdf = pd.DataFrame(
+        {
+            "vec_id": np.arange(kc * per),
+            "embedding": [r.astype(np.float32).tolist() for r in vecs],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    queries = df.where(F.col("vec_id") % 150 == 7).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = sim.brute_force_topk(df, queries, k=5).toPandas()
+    truth = {q: set(g["vec_id"]) for q, g in exact.groupby("query_id")}
+
+    _, cent = sim.kmeans_fit(df, k=kc, iters=4, scale_bits=10)
+    book = sim.kmeans_centroids(cent, scale_bits=10)
+
+    def recall(res):
+        got = {q: set(g["vec_id"]) for q, g in res.groupby("query_id")}
+        return np.mean([len(got.get(q, set()) & t) / len(t) for q, t in truth.items()])
+
+    r_trained = recall(
+        sim.ivf_topk(df, queries, k=5, n_centroids=kc, nprobe=1, dim=dim,
+                     centroids=book).toPandas()
+    )
+    r_fixed = recall(
+        sim.ivf_topk(df, queries, k=5, n_centroids=kc, nprobe=1, dim=dim).toPandas()
+    )
+    assert r_trained >= r_fixed
+    assert r_trained > 0.9
+
+
 def test_image_resize_plumbing(spark):
     """Resize invariants: fit-in-box dims (longest side == box unless the
     source is smaller in that integer math), 16-byte 4x4 thumb, px_sum
