@@ -89,6 +89,55 @@ def test_mapping_roundtrip_fuzz(value, alpha):
     assert abs(rt - value) <= alpha * value * (1 + 1e-9)
 
 
+@settings(max_examples=100, deadline=None)
+@given(
+    st.floats(min_value=1e-280, max_value=1e280, allow_nan=False),
+    st.floats(min_value=1e-4, max_value=0.3),
+    st.sampled_from(["linear", "cubic"]),
+)
+def test_interpolated_mapping_roundtrip_fuzz(value, alpha, interp):
+    """The alpha contract must hold for the interpolated mappings too —
+    value(index(v)) within relative alpha of v across the full range."""
+    from sketches_go_spark.core.mapping import (
+        CubicallyInterpolatedMapping,
+        LinearlyInterpolatedMapping,
+    )
+
+    cls = (
+        LinearlyInterpolatedMapping if interp == "linear"
+        else CubicallyInterpolatedMapping
+    )
+    m = cls.from_relative_accuracy(alpha)
+    if not (m.min_indexable <= value <= m.max_indexable):
+        return
+    rt = m.value_scalar(m.index_scalar(value))
+    assert abs(rt - value) <= alpha * value * (1 + 1e-9)
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.lists(
+        st.floats(min_value=1e-3, max_value=1e9, allow_nan=False),
+        min_size=1,
+        max_size=80,
+    ),
+    st.sampled_from(["linear", "cubic"]),
+)
+def test_interpolated_sketch_accuracy_fuzz(values, interp):
+    """End-to-end alpha envelope under interpolated configs: every estimated
+    quantile within relative alpha of some data value's bucket (exact-rank
+    replay bound via the oracle convention)."""
+    from sketches_go_spark.core.ddsketch import DDSketchConfig
+
+    cfg = DDSketchConfig(alpha=0.02, interpolation=interp)
+    arr = np.asarray(values)
+    s = DDSketch.from_values(arr, config=cfg)
+    for q in (0.0, 0.5, 0.99, 1.0):
+        est = s.quantile(q)
+        exact = np.sort(arr)[int(np.floor(q * (len(arr) - 1)))]
+        assert abs(est - exact) <= 0.02 * abs(exact) * (1 + 1e-9) + 1e-12
+
+
 @settings(max_examples=50, deadline=None)
 @given(st.lists(st.floats(min_value=0.1, max_value=1e6, allow_nan=False), min_size=1, max_size=100))
 def test_quantile_monotone_fuzz(values):
