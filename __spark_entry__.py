@@ -959,12 +959,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ddsketch_udaf_textlen_by_role": q_ddsketch_udaf_textlen_by_role,
         "ddsketch_proto_roundtrip": q_ddsketch_proto_roundtrip,
         "ddsketch_udaf_bins_strategy": q_ddsketch_udaf_bins_strategy,
-        "ddsketch_cube_range_quantiles": oracles.ddsketch_quantiles_sql(
-            "SELECT event_type, cast(value AS double) AS v FROM events "
-            f"WHERE substr(cast(ts AS string), 1, 10) >= '{_CUBE_LO}' "
-            f"AND substr(cast(ts AS string), 1, 10) <= '{_CUBE_HI}'",
-            ["event_type"], QS, CFG, order_by="event_type, q",
-        ),
         "ddsketch_daily_quantiles": q_ddsketch_daily_quantiles,
         "ddsketch_cube_range_quantiles": q_ddsketch_cube_range_quantiles,
         "ddsketch_collapsed_bins": q_ddsketch_collapsed_bins,
@@ -1057,6 +1051,15 @@ def oracle_sql() -> dict[str, str]:
             " cast(value AS double) AS v FROM events",
             ["day", "event_type"], (0.5, 0.95), CFG,
             order_by="day, event_type, q",
+        ),
+        # Exactness of the cube pattern: bins are a sum-monoid, so
+        # cube→filter→rollup equals bins built directly on the range-filtered
+        # rows — which is what this oracle computes.
+        "ddsketch_cube_range_quantiles": oracles.ddsketch_quantiles_sql(
+            "SELECT event_type, cast(value AS double) AS v FROM events "
+            f"WHERE substr(cast(ts AS string), 1, 10) >= '{_CUBE_LO}' "
+            f"AND substr(cast(ts AS string), 1, 10) <= '{_CUBE_HI}'",
+            ["event_type"], QS, CFG, order_by="event_type, q",
         ),
         "ddsketch_collapsed_bins": (
             "WITH "
