@@ -27,6 +27,7 @@ from sketches_go_spark.functions import sketch_fns as sk
 from sketches_go_spark.operators import dedup
 from sketches_go_spark.operators import multimodal as mm
 from sketches_go_spark.operators import oracles_pipeline as opl
+from sketches_go_spark.operators import sampling
 from sketches_go_spark.operators import similarity as sim
 from sketches_go_spark.operators import text as ops_text
 from sketches_go_spark.sources.transcripts import transcripts_from_events, transcripts_sql
@@ -343,6 +344,28 @@ def q_hll_distinct_convs_by_role(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("conv_id").alias("exact_distinct")
     )
     return est.join(exact, "role").orderBy("role")
+
+
+def q_hll_cube_range_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL register cube (the max-monoid twin of the DDSketch bins cube):
+    (day, event_type) registers are precomputed once; ANY date-range distinct-
+    users query is answered by max-rolling the tiny cube over the day
+    dimension — exactness of the pattern: rollup-of-max equals registers
+    built directly on the range-filtered rows, which is what the oracle
+    computes."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        F.substring(F.col("ts").cast("string"), 1, 10).alias("day"),
+        "event_type",
+        "user_id",
+    )
+    cube = sk.hll_registers(ev, "user_id", ["day", "event_type"], p=HLL_P)
+    in_range = cube.where(
+        (F.col("day") >= _CUBE_LO) & (F.col("day") <= _CUBE_HI)
+    )
+    rolled = sk.hll_rollup_registers(in_range, ["event_type"])
+    return sk.hll_estimate_from_registers(
+        rolled, ["event_type"], p=HLL_P
+    ).orderBy("event_type")
 
 
 def q_hll_udaf_distinct_by_role(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -738,6 +761,53 @@ def q_dedup_simhash_pairs_global(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
+def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup GROUPS: transitive closure of the simhash pair graph via
+    alternating large-star/small-star connected components — the stage that
+    turns non-transitive pair similarity into canonical-per-group dedup.
+    Every document is labeled (singletons label themselves); the oracle
+    replays the closure with a recursive CTE over the exact pair set."""
+    from pyspark.sql.window import Window
+
+    docs = _docs(spark, sf_dir)
+    pairs = dedup.simhash_pairs(docs, bits=60, max_hamming=3, block_col=None)
+    comp = dedup.connected_components(pairs).withColumnRenamed("node", "doc_id")
+    lab = docs.select("doc_id").join(comp, "doc_id", "left").select(
+        "doc_id", F.coalesce("component", "doc_id").alias("component")
+    )
+    w = Window.partitionBy("component")
+    return lab.select(
+        "doc_id", "component", F.count(F.lit(1)).over(w).alias("csize")
+    ).orderBy("doc_id")
+
+
+def q_sample_split_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split (98/1/1 by hash bucket) plus
+    membership of the independent 10% deterministic sample — reproducible
+    across runs/partitionings/engines, unlike randomSplit/sample."""
+    docs = _docs(spark, sf_dir)
+    split = sampling.hash_split(docs).select("doc_id", "split")
+    sam = sampling.deterministic_sample(docs, rate=0.1).select(
+        "doc_id", F.lit(True).alias("in_sample")
+    )
+    return (
+        split.join(sam, "doc_id", "left")
+        .select(
+            "doc_id", "split", F.coalesce("in_sample", F.lit(False)).alias("in_sample")
+        )
+        .orderBy("doc_id")
+    )
+
+
+def q_sample_stratified_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly 5 docs per lang by hash rank — deterministic uniform
+    without-replacement per-stratum sampling (one window shuffle)."""
+    docs = _docs(spark, sf_dir)
+    return sampling.stratified_topk_sample(docs, ["lang"], k=5).select(
+        "doc_id", "lang", "rk"
+    ).orderBy("lang", "rk")
+
+
 def q_kmeans_assign_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic relational Lloyd's k-means (3 iterations, k=8) over the
     embeddings — an ITERATIVE algorithm with an exact cross-engine oracle:
@@ -967,6 +1037,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_registers_convs_by_role": q_hll_registers_convs_by_role,
         "hll_distinct_convs_by_role": q_hll_distinct_convs_by_role,
         "hll_udaf_distinct_by_role": q_hll_udaf_distinct_by_role,
+        "hll_cube_range_distinct": q_hll_cube_range_distinct,
         "cms_tool_counts": q_cms_tool_counts,
         "cms_heavy_hitters": q_cms_heavy_hitters,
         "bloom_probe_tools": q_bloom_probe_tools,
@@ -991,6 +1062,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": q_dedup_simhash,
         "dedup_simhash_pairs": q_dedup_simhash_pairs,
         "dedup_simhash_pairs_global": q_dedup_simhash_pairs_global,
+        "dedup_components": q_dedup_components,
+        "sample_split_documents": q_sample_split_documents,
+        "sample_stratified_by_lang": q_sample_stratified_by_lang,
         "kmeans_assign_embeddings": q_kmeans_assign_embeddings,
         "sim_topk_bruteforce": q_sim_topk_bruteforce,
         "sim_ann_lsh": q_sim_ann_lsh,
@@ -1099,6 +1173,14 @@ def oracle_sql() -> dict[str, str]:
             _CONV_BY_ROLE_SQL, ["role"], p=HLL_P
         )
         + " ORDER BY role",
+        # rollup-of-max == registers built on the range-filtered rows
+        "hll_cube_range_distinct": oracles.hll_estimate_sql(
+            "SELECT event_type, user_id AS item FROM events "
+            f"WHERE substr(cast(ts AS string), 1, 10) >= '{_CUBE_LO}' "
+            f"AND substr(cast(ts AS string), 1, 10) <= '{_CUBE_HI}'",
+            ["event_type"], p=HLL_P,
+        )
+        + " ORDER BY event_type",
         "cms_tool_counts": oracles.cms_estimate_sql(
             _TOOL_ITEMS_SQL, depth=4, width=512
         )
@@ -1179,6 +1261,9 @@ ORDER BY l_returnflag, l_linestatus""",
         "dedup_simhash": opl.simhash_oracle(),
         "dedup_simhash_pairs": opl.simhash_pairs_oracle(max_hamming=1),
         "dedup_simhash_pairs_global": opl.simhash_pairs_global_oracle(max_hamming=3),
+        "dedup_components": opl.components_oracle(max_hamming=3),
+        "sample_split_documents": opl.sample_split_oracle(rate=0.1),
+        "sample_stratified_by_lang": opl.stratified_topk_oracle(key="lang", k=5),
         "kmeans_assign_embeddings": sim.kmeans_oracle_sql(k=8, iters=3),
         "sim_topk_bruteforce": opl.brute_force_topk_oracle(),
         "sim_ann_lsh": opl.lsh_ann_topk_oracle(),

@@ -213,18 +213,29 @@ def hll_registers(
     )
 
 
-def hll_estimate_relational(
-    df: DataFrame,
-    item_col: str | Column,
+def hll_rollup_registers(
+    regs: DataFrame, to_keys: Sequence[str]
+) -> DataFrame:
+    """Roll an HLL register relation up to coarser keys: registers are a
+    MAX-monoid, so ``max(rho)`` per (to_keys, reg) is exactly the register
+    relation that would have been built directly at the coarser grain.  This
+    is what makes a precomputed (day, key) register cube answer any
+    date-range distinct query in O(cube rows) without rescanning the data —
+    the HLL twin of the DDSketch bins sum-monoid cube."""
+    return regs.groupBy(*to_keys, "reg").agg(F.max("rho").alias("rho"))
+
+
+def hll_estimate_from_registers(
+    regs: DataFrame,
     keys: Sequence[str],
     p: int = 12,
     est_decimals: int = 4,
 ) -> DataFrame:
-    """(keys..., est:double) distinct-count estimate, pure Catalyst, with the
-    standard linear-counting small-range correction."""
+    """(keys..., est:double) from an existing register relation — the
+    estimator half of :func:`hll_estimate_relational`, reusable on rolled-up
+    or cubed registers."""
     m = 1 << p
     amm = hll_alpha(m) * m * m
-    regs = hll_registers(df, item_col, keys, p)
     agg = regs.groupBy(*keys).agg(
         F.sum(F.pow(F.lit(2.0), -F.col("rho"))).alias("s"),
         F.count(F.lit(1)).alias("used"),
@@ -235,6 +246,19 @@ def hll_estimate_relational(
         (raw <= F.lit(2.5 * m)) & (v > 0), F.lit(m) * F.log(F.lit(m) / v)
     ).otherwise(raw)
     return agg.select(*keys, F.round(est, est_decimals).alias("est"))
+
+
+def hll_estimate_relational(
+    df: DataFrame,
+    item_col: str | Column,
+    keys: Sequence[str],
+    p: int = 12,
+    est_decimals: int = 4,
+) -> DataFrame:
+    """(keys..., est:double) distinct-count estimate, pure Catalyst, with the
+    standard linear-counting small-range correction."""
+    regs = hll_registers(df, item_col, keys, p)
+    return hll_estimate_from_registers(regs, keys, p, est_decimals)
 
 
 def hll_agg(

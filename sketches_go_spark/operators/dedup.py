@@ -343,3 +343,110 @@ def pigeonhole_hamming_pairs(
         .where(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+# ------------------------------------------------------- connected components
+def connected_components(
+    edges: DataFrame,
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+    max_iters: int = 50,
+    checkpoint: bool = True,
+) -> DataFrame:
+    """(node, component) for every node on a non-self-loop edge — component
+    is the MINIMUM node id reachable, so the labeling is deterministic and
+    algorithm-independent (any engine computing transitive closure agrees).
+    Nodes with no edges are absent; callers materializing a full corpus
+    labeling left-join this and ``coalesce(component, id)`` (see the
+    dedup_components driver query).
+
+    This is the stage every dedup pipeline needs after pair generation:
+    near-duplicate similarity is not transitive, so pairs (a,b),(b,c) must be
+    closed into a group {a,b,c} before picking one canonical doc per group.
+
+    Algorithm: alternating **large-star / small-star** (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond", SoCC'14) — each round is
+    two groupBy-min shuffles over the current edge relation, and the edge set
+    provably converges to a star graph (every node points at its component
+    minimum) in O(log^2 n) rounds — typically <5 in practice on dedup graphs.
+    Per-round the relation is ``localCheckpoint``-ed to truncate lineage (an
+    iterative DataFrame loop otherwise re-plans the whole history each round;
+    on a cluster use ``spark.sparkContext.setCheckpointDir`` + reliable
+    checkpoints for fault tolerance — same seam as plans/checkpoint.py).
+
+    Convergence is detected EXACTLY: the round's edge set equals the previous
+    round's (same count + empty anti-join — two tiny jobs per round on a
+    (bigint, bigint) relation, no probabilistic checksum).
+
+    Scale shape: only (bigint, bigint) pairs ever shuffle — never document
+    payloads; each round is map-side-combinable min-aggregation, so the wide
+    exchange carries one row per distinct node, and skewed star centers
+    (one huge near-dup cluster) are exactly the high-fanout nodes large-star
+    is designed to split across reducers."""
+    e = (
+        edges.select(
+            _col(src_col).cast("bigint").alias("u"),
+            _col(dst_col).cast("bigint").alias("v"),
+        )
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+    def _large_star(df: DataFrame) -> DataFrame:
+        # symmetric neighborhood; m = min(Γ(u) ∪ {u}); emit (v, m) for v > u
+        sym = df.union(df.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        m = F.least(F.min("v"), F.first("u")).alias("m")
+        mins = sym.groupBy("u").agg(m)
+        return (
+            sym.join(mins, "u")
+            .where(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .distinct()
+        )
+
+    def _small_star(df: DataFrame) -> DataFrame:
+        # orient (max, min); m = min neighbor; relink N(u) ∪ {u} to m
+        ori = df.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        )
+        mins = ori.groupBy("u").agg(F.min("v").alias("m"))
+        relinked = ori.join(mins, "u").select(
+            F.col("v").alias("u"), F.col("m").alias("v")
+        )
+        centers = mins.select(F.col("u"), F.col("m").alias("v"))
+        return (
+            relinked.union(centers)
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+        )
+
+    e = e.localCheckpoint(eager=True) if checkpoint else e
+    e0 = e  # checkpointed input edges: node universe without upstream recompute
+    prev_count = e.count()
+    for _ in range(max_iters):
+        nxt = _small_star(_large_star(e))
+        if checkpoint:
+            nxt = nxt.localCheckpoint(eager=True)
+        nxt_count = nxt.count()
+        if nxt_count == prev_count and (
+            nxt.join(e, ["u", "v"], "left_anti").limit(1).count() == 0
+        ):
+            e = nxt
+            break
+        e, prev_count = nxt, nxt_count
+
+    # converged star edges point (member -> component-min); add the centers
+    # themselves and any nodes the input mentioned (singleton components)
+    members = e.select(F.col("u").alias("node"), F.col("v").alias("component"))
+    nodes = (
+        e0.select(F.col("u").alias("node"))
+        .union(e0.select(F.col("v").alias("node")))
+        .distinct()
+    )
+    return (
+        nodes.join(members, "node", "left")
+        .select(
+            "node",
+            F.coalesce("component", "node").alias("component"),
+        )
+    )

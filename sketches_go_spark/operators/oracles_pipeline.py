@@ -188,6 +188,40 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
 ORDER BY id_a, id_b"""
 
 
+def components_oracle(
+    src: str = "documents", bits: int = 60, max_hamming: int = 3
+) -> str:
+    """Transitive closure of the exact simhash near-dup pair set via a
+    recursive CTE: min reachable doc_id per node.  The ``r.lbl < e.v`` prune
+    is lossless for the min — the component minimum m initializes as (m, m)
+    and m < v for every other member v, so m still reaches everyone."""
+    base = simhash_oracle(src, bits).rsplit("ORDER BY", 1)[0]
+    return f"""WITH RECURSIVE sgs_simhash AS ({base}),
+sgs_pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM sgs_simhash a
+  JOIN sgs_simhash b ON a.doc_id < b.doc_id
+  WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
+),
+sgs_edges AS (
+  SELECT id_a AS u, id_b AS v FROM sgs_pairs
+  UNION SELECT id_b AS u, id_a AS v FROM sgs_pairs
+),
+sgs_reach(node, lbl) AS (
+  SELECT DISTINCT u, u FROM sgs_edges
+  UNION
+  SELECT e.v, r.lbl FROM sgs_reach r JOIN sgs_edges e ON e.u = r.node
+  WHERE r.lbl < e.v
+),
+sgs_comp AS (SELECT node, min(lbl) AS component FROM sgs_reach GROUP BY node)
+SELECT d.doc_id,
+       coalesce(c.component, d.doc_id) AS component,
+       count(*) OVER (PARTITION BY coalesce(c.component, d.doc_id)) AS csize
+FROM {src} d
+LEFT JOIN sgs_comp c ON c.node = d.doc_id
+ORDER BY doc_id"""
+
+
 # ----------------------------------------------------------------- similarity
 def _dot_sql(a: str, b: str, dim: int) -> str:
     return (
@@ -373,3 +407,48 @@ sgs_ranked AS (
 )
 SELECT query_id, rank, vec_id, sim FROM sgs_ranked WHERE rank <= {k}
 ORDER BY query_id, rank"""
+
+
+# ------------------------------------------------------------------- sampling
+def sample_split_oracle(
+    src: str = "documents", rate: float = 0.1,
+    split_salt: str = "split:", sample_salt: str = "sample:",
+    weights=None,
+) -> str:
+    """Replay of sampling.hash_split + deterministic_sample membership."""
+    from sketches_go_spark.operators.sampling import (
+        SPLIT_BUCKETS,
+        split_thresholds,
+    )
+
+    weights = weights or {"train": 0.98, "val": 0.01, "test": 0.01}
+    thresholds = split_thresholds(weights)
+    case = "CASE " + " ".join(
+        f"WHEN sb < {hi} THEN '{name}'" for name, hi in thresholds[:-1]
+    ) + f" ELSE '{thresholds[-1][0]}' END"
+    thr = int(round(rate * SPLIT_BUCKETS))
+    return f"""WITH sgs_b AS (
+  SELECT doc_id,
+         {_hash_sql('doc_id', split_salt)} % {SPLIT_BUCKETS} AS sb,
+         {_hash_sql('doc_id', sample_salt)} % {SPLIT_BUCKETS} AS mb
+  FROM {src}
+)
+SELECT doc_id, {case} AS split, mb < {thr} AS in_sample
+FROM sgs_b ORDER BY doc_id"""
+
+
+def stratified_topk_oracle(
+    src: str = "documents", key: str = "lang", k: int = 5,
+    salt: str = "strat:",
+) -> str:
+    """Replay of sampling.stratified_topk_sample (hash rank, id tiebreak)."""
+    return f"""WITH sgs_rk AS (
+  SELECT doc_id, {key},
+         cast(row_number() OVER (
+           PARTITION BY {key}
+           ORDER BY {_hash_sql('doc_id', salt)} ASC, doc_id ASC
+         ) AS int) AS rk
+  FROM {src}
+)
+SELECT doc_id, {key}, rk FROM sgs_rk WHERE rk <= {k}
+ORDER BY {key}, rk"""

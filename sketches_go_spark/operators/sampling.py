@@ -1,0 +1,112 @@
+"""Deterministic sampling / splitting operators for training-data pipelines.
+
+Every operator keys off the portable 60-bit content/id hash rather than an
+RNG, which buys three properties a 100-TB pipeline needs and
+``df.sample()``/``randomSplit()`` do not give:
+
+- **Reproducible**: the same row lands in the same split/sample on every
+  run, every cluster size, every partitioning — no seed plumbing, no
+  dependence on partition iteration order (Spark's ``randomSplit`` is only
+  stable for a fixed partitioning).
+- **Joinable**: two tables sampled on the same key sample the SAME entities,
+  so feature tables stay aligned with their labels.
+- **Oracle-replayable**: the hash is plain md5 arithmetic, so any engine
+  (the DuckDB correctness oracle included) reproduces the exact row set.
+
+All pure Catalyst — one projection, no shuffle for split/sample; stratified
+top-k is one window shuffle on the strata keys."""
+
+from __future__ import annotations
+
+from typing import Mapping, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from sketches_go_spark.functions.expressions import portable_hash64
+
+#: denominator of the split thresholds: hash buckets per unit weight
+SPLIT_BUCKETS = 1_000_000
+
+
+def _col(c: str | Column) -> Column:
+    return F.col(c) if isinstance(c, str) else c
+
+
+def split_thresholds(weights: Mapping[str, float]) -> list[tuple[str, int]]:
+    """[(name, exclusive_upper_bucket)] cumulative integer thresholds.
+    Weights are normalized; the last split absorbs rounding residue so the
+    thresholds always cover all SPLIT_BUCKETS buckets."""
+    total = float(sum(weights.values()))
+    if total <= 0:
+        raise ValueError("split weights must sum > 0")
+    out: list[tuple[str, int]] = []
+    acc = 0.0
+    items = list(weights.items())
+    for i, (name, w) in enumerate(items):
+        acc += w / total
+        hi = SPLIT_BUCKETS if i == len(items) - 1 else int(round(acc * SPLIT_BUCKETS))
+        out.append((name, hi))
+    return out
+
+
+def hash_split(
+    df: DataFrame,
+    id_col: str | Column = "doc_id",
+    weights: Mapping[str, float] | None = None,
+    salt: str = "split:",
+) -> DataFrame:
+    """Adds a ``split`` column: deterministic train/val/test assignment by
+    hash bucket ``h % SPLIT_BUCKETS`` against cumulative thresholds.  A row's
+    split depends only on (salt, id) — stable across runs and re-partitions,
+    and disjoint from any other salt's sampling decisions."""
+    weights = weights or {"train": 0.98, "val": 0.01, "test": 0.01}
+    bucket = F.pmod(portable_hash64(_col(id_col), salt), F.lit(SPLIT_BUCKETS))
+    thresholds = split_thresholds(weights)
+    expr: Column | None = None
+    for name, hi in thresholds[:-1]:
+        cond = bucket < F.lit(hi)
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    last = thresholds[-1][0]
+    expr = F.lit(last) if expr is None else expr.otherwise(F.lit(last))
+    return df.withColumn("split", expr)
+
+
+def deterministic_sample(
+    df: DataFrame,
+    id_col: str | Column = "doc_id",
+    rate: float = 0.01,
+    salt: str = "sample:",
+) -> DataFrame:
+    """Keep ~``rate`` of rows: filter ``h % SPLIT_BUCKETS < rate * buckets``.
+    A pure pushdown-friendly filter — no shuffle, no RNG state; nested
+    samples compose (rate 0.1 then 0.01 with the same salt is exactly the
+    0.01 sample, because the bucket sets nest)."""
+    if not (0.0 <= rate <= 1.0):
+        raise ValueError("rate must be in [0, 1]")
+    thr = int(round(rate * SPLIT_BUCKETS))
+    bucket = F.pmod(portable_hash64(_col(id_col), salt), F.lit(SPLIT_BUCKETS))
+    return df.where(bucket < F.lit(thr))
+
+
+def stratified_topk_sample(
+    df: DataFrame,
+    keys: Sequence[str],
+    id_col: str = "doc_id",
+    k: int = 5,
+    salt: str = "strat:",
+) -> DataFrame:
+    """Exactly ``min(k, |stratum|)`` rows per key group, chosen by hash rank
+    (ties broken by id — total order, so the selection is unique).  The
+    hash rank of a fixed id is uniform, so this is a deterministic uniform
+    without-replacement sample per stratum.  One window shuffle on the
+    strata keys; at 100 TB prefer high-cardinality strata or pre-aggregate —
+    a single giant stratum serializes into one reducer like any global
+    top-k."""
+    h = portable_hash64(F.col(id_col), salt)
+    w = Window.partitionBy(*keys).orderBy(h.asc(), F.col(id_col).asc())
+    return (
+        df.withColumn("rk", F.row_number().over(w).cast("int"))
+        .where(F.col("rk") <= k)
+    )

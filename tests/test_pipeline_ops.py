@@ -399,3 +399,87 @@ def test_ivf_full_probe_equals_bruteforce(spark):
         [len(exact_sets[q] & part_sets.get(q, set())) / 5 for q in exact_sets.index]
     )
     assert recall >= 0.3
+
+
+def test_connected_components_vs_union_find(spark):
+    """Random sparse graph: star-contraction labels == exact union-find,
+    including long chains (worst case for naive one-hop propagation) and a
+    high-degree hub (the skew case large-star splits)."""
+    rng = np.random.default_rng(7)
+    n = 400
+    edges = [(int(a), int(b)) for a, b in rng.integers(0, n, (300, 2))]
+    edges += [(i, i + 1) for i in range(500, 560)]      # 61-node chain
+    edges += [(600, 600 + i) for i in range(1, 80)]      # 80-node hub
+    edges += [(700, 700)]                                # self loop only
+
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        if a != b:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+    exact = {x: find(x) for x in parent}
+
+    df = spark.createDataFrame(edges, "id_a bigint, id_b bigint")
+    got = {
+        r["node"]: r["component"]
+        for r in dedup.connected_components(df).collect()
+    }
+    assert got == exact
+
+
+def test_connected_components_partition_invariance(spark):
+    edges = [(i, i + 1) for i in range(0, 40)] + [(100, 101), (101, 102)]
+    a = spark.createDataFrame(edges, "id_a bigint, id_b bigint").repartition(1)
+    b = spark.createDataFrame(edges[::-1], "id_a bigint, id_b bigint").repartition(13)
+    ra = sorted(map(tuple, dedup.connected_components(a).collect()))
+    rb = sorted(map(tuple, dedup.connected_components(b).collect()))
+    assert ra == rb
+    assert all(c == 0 for _, c in ra[:41])
+
+
+def test_sampling_deterministic_and_nested(spark):
+    from sketches_go_spark.operators import sampling
+
+    df = spark.range(0, 5000).withColumnRenamed("id", "doc_id")
+    s10 = {r[0] for r in sampling.deterministic_sample(df, rate=0.10).collect()}
+    s01 = {r[0] for r in sampling.deterministic_sample(df, rate=0.01).collect()}
+    assert s01 <= s10, "same-salt samples must nest"
+    assert 0.05 < len(s10) / 5000 < 0.15
+    # stable under repartitioning
+    s10b = {
+        r[0]
+        for r in sampling.deterministic_sample(df.repartition(17), rate=0.10).collect()
+    }
+    assert s10 == s10b
+
+
+def test_hash_split_partitions_every_row_once(spark):
+    from sketches_go_spark.operators import sampling
+
+    df = spark.range(0, 3000).withColumnRenamed("id", "doc_id")
+    out = sampling.hash_split(df, weights={"train": 0.8, "val": 0.1, "test": 0.1})
+    counts = {r["split"]: r["n"] for r in out.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    assert sum(counts.values()) == 3000
+    assert set(counts) == {"train", "val", "test"}
+    assert counts["train"] > 2200
+
+
+def test_stratified_topk_exact_group_sizes(spark):
+    from sketches_go_spark.operators import sampling
+
+    rows = [(i, "a" if i % 3 == 0 else "b") for i in range(100)] + [(1000, "tiny")]
+    df = spark.createDataFrame(rows, "doc_id bigint, lang string")
+    out = sampling.stratified_topk_sample(df, ["lang"], k=7)
+    sizes = {r["lang"]: r["n"] for r in out.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    assert sizes == {"a": 7, "b": 7, "tiny": 1}
