@@ -326,6 +326,7 @@ _BLOOM_PROBES = [
     "tool-7", "tool-42", "ghost-a", "ghost-b", "ghost-c",
 ]
 HLL_P = 10
+KMV_K = 128
 
 
 def q_hll_registers_convs_by_role(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -366,6 +367,18 @@ def q_hll_cube_range_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sk.hll_estimate_from_registers(
         rolled, ["event_type"], p=HLL_P
     ).orderBy("event_type")
+
+
+def q_kmv_event_type_user_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV bottom-k theta sketch: pairwise distinct-user OVERLAP between
+    event types (union / intersection / Jaccard estimates) — the set-
+    expression capability HLL registers cannot give.  Join sizes are
+    pairs x k rows, independent of data size."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    sk_rel = sk.kmv_sketch(ev, "user_id", ["event_type"], k=KMV_K)
+    return sk.kmv_pairwise_overlap(sk_rel, "event_type", k=KMV_K).orderBy(
+        "key_a", "key_b"
+    )
 
 
 def q_hll_udaf_distinct_by_role(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1038,6 +1051,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_distinct_convs_by_role": q_hll_distinct_convs_by_role,
         "hll_udaf_distinct_by_role": q_hll_udaf_distinct_by_role,
         "hll_cube_range_distinct": q_hll_cube_range_distinct,
+        "kmv_event_type_user_overlap": q_kmv_event_type_user_overlap,
         "cms_tool_counts": q_cms_tool_counts,
         "cms_heavy_hitters": q_cms_heavy_hitters,
         "bloom_probe_tools": q_bloom_probe_tools,
@@ -1181,6 +1195,10 @@ def oracle_sql() -> dict[str, str]:
             ["event_type"], p=HLL_P,
         )
         + " ORDER BY event_type",
+        "kmv_event_type_user_overlap": oracles.kmv_overlap_sql(
+            "SELECT event_type, user_id AS item FROM events",
+            "event_type", k=KMV_K,
+        ),
         "cms_tool_counts": oracles.cms_estimate_sql(
             _TOOL_ITEMS_SQL, depth=4, width=512
         )

@@ -517,3 +517,68 @@ sgs_ranked AS (
   FROM sgs_est
 )
 SELECT {kc}rank, item, est_cnt FROM sgs_ranked WHERE rank <= {k}"""
+
+
+def kmv_overlap_sql(
+    src_sql: str, key: str, k: int = 128, est_decimals: int = 4
+) -> str:
+    """Pairwise KMV set-overlap estimates — mirrors sketch_fns.kmv_sketch +
+    kmv_pairwise_overlap (same hash, same rank cut, same float op order:
+    per-group est is ((k-1)*S)/kth, pairwise uses (k-1)*(S/kth))."""
+    S = _lit(float(1 << _HASH_BITS))
+    km1 = _lit(float(k - 1))
+    d = est_decimals
+    return f"""WITH sgs_src AS ({src_sql}),
+sgs_hv AS (
+  SELECT DISTINCT {key} AS g, {_hash_sql('item')} AS hv
+  FROM sgs_src WHERE item IS NOT NULL
+),
+sgs_sk AS (
+  SELECT g, hv FROM (
+    SELECT g, hv, row_number() OVER (PARTITION BY g ORDER BY hv ASC) AS rn
+    FROM sgs_hv
+  ) WHERE rn <= {k}
+),
+sgs_names AS (SELECT DISTINCT g FROM sgs_sk),
+sgs_pairs AS (
+  SELECT a.g AS ka, b.g AS kb FROM sgs_names a JOIN sgs_names b ON a.g < b.g
+),
+sgs_u AS (
+  SELECT ka, kb, hv, max(ia) AS ia, max(ib) AS ib FROM (
+    SELECT p.ka, p.kb, s.hv, 1 AS ia, 0 AS ib
+    FROM sgs_pairs p JOIN sgs_sk s ON s.g = p.ka
+    UNION ALL
+    SELECT p.ka, p.kb, s.hv, 0 AS ia, 1 AS ib
+    FROM sgs_pairs p JOIN sgs_sk s ON s.g = p.kb
+  ) GROUP BY ka, kb, hv
+),
+sgs_kept AS (
+  SELECT * FROM (
+    SELECT ka, kb, hv, ia, ib,
+           row_number() OVER (PARTITION BY ka, kb ORDER BY hv ASC) AS rn
+    FROM sgs_u
+  ) WHERE rn <= {k}
+),
+sgs_agg AS (
+  SELECT ka, kb, count(*) AS n, max(hv) AS kth, sum(ia * ib) AS c
+  FROM sgs_kept GROUP BY ka, kb
+),
+sgs_est AS (
+  SELECT g, round(CASE WHEN count(*) < {k} THEN cast(count(*) AS double)
+                       ELSE ({km1} * {S}) / cast(max(hv) AS double) END,
+                  {d}) AS est
+  FROM sgs_sk GROUP BY g
+)
+SELECT ka AS key_a, kb AS key_b, ea.est AS est_a, eb.est AS est_b,
+  round(CASE WHEN n >= {k} THEN {km1} * ({S} / cast(kth AS double))
+             ELSE cast(n AS double) END, {d}) AS est_union,
+  round(least(
+    CASE WHEN n >= {k} THEN cast(c AS double) * ({S} / cast(kth AS double))
+         ELSE cast(c AS double) END,
+    CASE WHEN n >= {k} THEN {km1} * ({S} / cast(kth AS double))
+         ELSE cast(n AS double) END), {d}) AS est_intersection,
+  round(cast(c AS double) / cast(least({k}, n) AS double), {d}) AS jaccard_est
+FROM sgs_agg
+JOIN sgs_est ea ON ea.g = ka
+JOIN sgs_est eb ON eb.g = kb
+ORDER BY key_a, key_b"""

@@ -354,6 +354,161 @@ def hll_estimate_udf(sketch: Column, est_decimals: int = 4) -> Column:
 
 
 # =====================================================================
+# KMV (k-minimum-values / bottom-k theta sketch)
+# =====================================================================
+# The one distinct-count capability the HLL register relation cannot give:
+# SET-EXPRESSION estimates (intersection / overlap / Jaccard of groups).
+# A KMV sketch is the k smallest distinct hash values per group; it is a
+# union-monoid (k smallest of a union = k smallest of the merged bottom-k
+# sets), and because it carries actual hash SAMPLES rather than register
+# maxima, any set expression can be evaluated on the samples below the
+# union's k-th minimum (theta).  Estimators are the standard KMV forms
+# (Beyer et al., "On synopses for distinct-value estimation under multiset
+# operations", SIGMOD'07): distinct ≈ (k-1)/theta, |A∩B| ≈ c/theta where c
+# counts common samples under theta.  Pure Catalyst, portable-hash based —
+# the DuckDB oracle replays every row bit-for-bit.
+_KMV_SCALE = float(1 << HASH_BITS)  # hash values are uniform on [0, 2^60)
+
+
+def kmv_sketch(
+    df: DataFrame, item_col: str | Column, keys: Sequence[str], k: int = 256
+) -> DataFrame:
+    """(keys..., pos:int, hv:bigint) — the k smallest distinct item-hash
+    values per group, pos = 1..k rank.  Scale shape: the distinct() and the
+    rank window shuffle on the same keys (one exchange under AQE reuse); at
+    most k rows per group survive.  Groups with fewer than k distinct items
+    keep them all (the estimator then returns the EXACT count)."""
+    from pyspark.sql.window import Window
+
+    it = _col(item_col)
+    distinct = (
+        df.where(it.isNotNull())
+        .select(*keys, portable_hash64(it).alias("hv"))
+        .distinct()
+    )
+    w = Window.partitionBy(*keys).orderBy(F.col("hv").asc())
+    return (
+        distinct.withColumn("pos", F.row_number().over(w).cast("int"))
+        .where(F.col("pos") <= k)
+    )
+
+
+def kmv_estimate_from_sketch(
+    sk_df: DataFrame, keys: Sequence[str], k: int, est_decimals: int = 4
+) -> DataFrame:
+    """(keys..., est:double): (k-1)/theta when the sketch is full (theta =
+    k-th minimum / 2^60), exact count when the group has < k distinct."""
+    agg = sk_df.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("n"), F.max("hv").alias("kth")
+    )
+    est = F.when(
+        F.col("n") < k, F.col("n").cast("double")
+    ).otherwise(F.lit(float(k - 1)) * F.lit(_KMV_SCALE) / F.col("kth").cast("double"))
+    return agg.select(*keys, F.round(est, est_decimals).alias("est"))
+
+
+def kmv_merge_sketches(
+    a: DataFrame, b: DataFrame, keys: Sequence[str], k: int
+) -> DataFrame:
+    """Union-monoid merge: k smallest of the combined bottom-k sets — equals
+    the sketch built directly on the unioned data (associative/commutative,
+    the same merge contract as every other sketch in the library)."""
+    from pyspark.sql.window import Window
+
+    u = a.select(*keys, "hv").union(b.select(*keys, "hv")).distinct()
+    w = Window.partitionBy(*keys).orderBy(F.col("hv").asc())
+    return (
+        u.withColumn("pos", F.row_number().over(w).cast("int"))
+        .where(F.col("pos") <= k)
+    )
+
+
+def kmv_pairwise_overlap(
+    sk_df: DataFrame,
+    key: str,
+    k: int,
+    est_decimals: int = 4,
+) -> DataFrame:
+    """(key_a, key_b, est_a, est_b, est_union, est_intersection, jaccard_est)
+    for every unordered pair of groups in a keyed KMV sketch relation.
+
+    Per pair: L = k smallest of the two sketches' union, theta = max(L)/2^60;
+    |A∪B| ≈ (k-1)/theta, |A∩B| ≈ c/theta with c = |{x ∈ L : x ∈ A_sk ∧
+    x ∈ B_sk}|, Jaccard ≈ c/k (all exact when the union has < k samples).
+    Join sizes are pairs × k rows — independent of the data size, which is
+    the point: pairwise overlap matrices over raw 100-TB data are quadratic
+    scans, over KMV sketches they are trivially small."""
+    from pyspark.sql.window import Window
+
+    ks = sk_df.select(F.col(key).alias("g"), "hv")
+    names = ks.select("g").distinct()
+    pairs = (
+        names.select(F.col("g").alias("ka"))
+        .crossJoin(names.select(F.col("g").alias("kb")))
+        .where(F.col("ka") < F.col("kb"))
+    )
+    am = pairs.join(ks.withColumnRenamed("g", "ka"), "ka").select(
+        "ka", "kb", "hv", F.lit(1).alias("ia"), F.lit(0).alias("ib")
+    )
+    bm = pairs.join(ks.withColumnRenamed("g", "kb"), "kb").select(
+        "ka", "kb", "hv", F.lit(0).alias("ia"), F.lit(1).alias("ib")
+    )
+    u = (
+        am.unionByName(bm)
+        .groupBy("ka", "kb", "hv")
+        .agg(F.max("ia").alias("ia"), F.max("ib").alias("ib"))
+    )
+    w = Window.partitionBy("ka", "kb").orderBy(F.col("hv").asc())
+    kept = u.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= k)
+    agg = kept.groupBy("ka", "kb").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.max("hv").alias("kth"),
+        F.sum(F.col("ia") * F.col("ib")).alias("c"),
+    )
+    full = F.col("n") >= k
+    inv_theta = F.lit(_KMV_SCALE) / F.col("kth").cast("double")
+    est_union = F.when(full, F.lit(float(k - 1)) * inv_theta).otherwise(
+        F.col("n").cast("double")
+    )
+    # clamp: c can reach k (> k-1), which would put the raw intersection
+    # estimate above the union estimate — impossible for true sets
+    est_inter = F.least(
+        F.when(full, F.col("c").cast("double") * inv_theta).otherwise(
+            F.col("c").cast("double")
+        ),
+        est_union,
+    )
+    jacc = F.col("c").cast("double") / F.least(F.lit(k), F.col("n")).cast("double")
+    per_group = kmv_estimate_from_sketch(sk_df, [key], k, est_decimals)
+    ea = per_group.select(
+        F.col(key).alias("ka"), F.col("est").alias("est_a")
+    )
+    eb = per_group.select(
+        F.col(key).alias("kb"), F.col("est").alias("est_b")
+    )
+    return (
+        agg.select(
+            "ka",
+            "kb",
+            F.round(est_union, est_decimals).alias("est_union"),
+            F.round(est_inter, est_decimals).alias("est_intersection"),
+            F.round(jacc, est_decimals).alias("jaccard_est"),
+        )
+        .join(F.broadcast(ea), "ka")
+        .join(F.broadcast(eb), "kb")
+        .select(
+            F.col("ka").alias("key_a"),
+            F.col("kb").alias("key_b"),
+            "est_a",
+            "est_b",
+            "est_union",
+            "est_intersection",
+            "jaccard_est",
+        )
+    )
+
+
+# =====================================================================
 # Count-min
 # =====================================================================
 def cms_counters(

@@ -5,6 +5,7 @@ KLL: additive rank error; t-digest: tail-accurate rank error."""
 
 import numpy as np
 import pytest
+from pyspark.sql import functions as F
 
 from sketches_go_spark.core.bloom import BloomFilter, optimal_k
 from sketches_go_spark.core.cms import CountMinSketch
@@ -166,3 +167,72 @@ def test_tdigest_merge_and_serde():
     assert np.array_equal(rt.quantiles([0.5, 0.99]), merged.quantiles([0.5, 0.99]))
     with pytest.raises(ValueError):
         merged.merge(TDigest(100))
+
+
+# ------------------------------------------------------------------------ KMV
+def test_kmv_estimate_exact_below_k_and_accurate_above(spark):
+    from sketches_go_spark.functions import sketch_fns as sk
+
+    df = spark.range(0, 20000).select(
+        (F.col("id") % 2).cast("string").alias("g"),
+        F.concat(F.lit("u"), (F.col("id") / 2).cast("int").cast("string")).alias("item"),
+    )
+    # group 0 and 1 each see the same 10000 distinct items
+    est = {
+        r["g"]: r["est"]
+        for r in sk.kmv_estimate_from_sketch(
+            sk.kmv_sketch(df, "item", ["g"], k=256), ["g"], k=256
+        ).collect()
+    }
+    for g in ("0", "1"):
+        assert abs(est[g] - 10000) / 10000 < 0.2, est
+    # below k: exact
+    small = spark.range(0, 50).select(
+        F.lit("s").alias("g"), F.col("id").cast("string").alias("item")
+    )
+    out = sk.kmv_estimate_from_sketch(
+        sk.kmv_sketch(small, "item", ["g"], k=256), ["g"], k=256
+    ).collect()
+    assert out[0]["est"] == 50.0
+
+
+def test_kmv_merge_is_union_monoid(spark):
+    from sketches_go_spark.functions import sketch_fns as sk
+
+    a = spark.range(0, 3000).select(
+        F.lit("g").alias("g"), F.col("id").cast("string").alias("item")
+    )
+    b = spark.range(2000, 6000).select(
+        F.lit("g").alias("g"), F.col("id").cast("string").alias("item")
+    )
+    k = 64
+    merged = sk.kmv_merge_sketches(
+        sk.kmv_sketch(a, "item", ["g"], k=k),
+        sk.kmv_sketch(b, "item", ["g"], k=k),
+        ["g"], k=k,
+    )
+    direct = sk.kmv_sketch(a.union(b), "item", ["g"], k=k)
+    assert sorted(r["hv"] for r in merged.collect()) == sorted(
+        r["hv"] for r in direct.collect()
+    )
+
+
+def test_kmv_overlap_estimates_track_truth(spark):
+    from sketches_go_spark.functions import sketch_fns as sk
+
+    # A = [0, 8000), B = [4000, 12000): |A∩B| = 4000, |A∪B| = 12000
+    rows = spark.range(0, 8000).select(
+        F.lit("A").alias("g"), F.col("id").cast("string").alias("item")
+    ).union(
+        spark.range(4000, 12000).select(
+            F.lit("B").alias("g"), F.col("id").cast("string").alias("item")
+        )
+    )
+    out = sk.kmv_pairwise_overlap(
+        sk.kmv_sketch(rows, "item", ["g"], k=512), "g", k=512
+    ).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert abs(r["est_union"] - 12000) / 12000 < 0.15, r
+    assert abs(r["est_intersection"] - 4000) / 4000 < 0.3, r
+    assert abs(r["jaccard_est"] - 4000 / 12000) < 0.1, r
