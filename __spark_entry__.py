@@ -29,6 +29,7 @@ from sketches_go_spark.operators import multimodal as mm
 from sketches_go_spark.operators import oracles_pipeline as opl
 from sketches_go_spark.operators import sampling
 from sketches_go_spark.operators import similarity as sim
+from sketches_go_spark.operators import temporal
 from sketches_go_spark.operators import text as ops_text
 from sketches_go_spark.sources.transcripts import transcripts_from_events, transcripts_sql
 
@@ -291,6 +292,60 @@ def q_ddsketch_daily_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _CUBE_LO, _CUBE_HI = "2024-01-08", "2024-01-21"
+_SESSION_GAP_US = 3_600_000_000  # 1 hour in micros
+
+
+def _events_micros(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("tsu"),
+    )
+
+
+def q_sessionize_user_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (1-hour gap per user) rolled up per session:
+    the lag-gap-cumsum window composition — one shuffle on user_id, whole-
+    stage codegen, no per-key Python."""
+    ev = _events_micros(spark, sf_dir)
+    s = temporal.sessionize(ev, "user_id", "tsu", "event_id", _SESSION_GAP_US)
+    return (
+        s.groupBy("user_id", "session_idx")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("event_id").alias("first_event"),
+            F.round(
+                (F.max("tsu") - F.min("tsu")).cast("double") / F.lit(1e6), 6
+            ).alias("duration_s"),
+        )
+        .orderBy("user_id", "session_idx")
+    )
+
+
+def q_asof_purchase_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase event annotated with the user's most recent
+    at-or-before click — the union-trick formulation (ONE shuffle total for
+    both sides; a per-row subquery would be quadratic)."""
+    ev = _events_micros(spark, sf_dir)
+    left = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "tsu"
+    )
+    right = ev.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "tsu"
+    )
+    out = temporal.asof_join(
+        left, right, "user_id", "tsu", "tsu",
+        ["event_id", "tsu"], "event_id", "event_id", how="left",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.col("asof_event_id").alias("click_event_id"),
+        F.round(
+            (F.col("tsu") - F.col("asof_tsu")).cast("double") / F.lit(1e6), 6
+        ).alias("gap_s"),
+    ).orderBy("event_id")
 
 
 def q_ddsketch_cube_range_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1044,6 +1099,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ddsketch_udaf_bins_strategy": q_ddsketch_udaf_bins_strategy,
         "ddsketch_daily_quantiles": q_ddsketch_daily_quantiles,
         "ddsketch_cube_range_quantiles": q_ddsketch_cube_range_quantiles,
+        "sessionize_user_events": q_sessionize_user_events,
+        "asof_purchase_last_click": q_asof_purchase_last_click,
         "ddsketch_collapsed_bins": q_ddsketch_collapsed_bins,
         "ddsketch_collapsed_highest_bins": q_ddsketch_collapsed_highest_bins,
         "ddsketch_weighted_bins": q_ddsketch_weighted_bins,
@@ -1140,6 +1197,56 @@ def oracle_sql() -> dict[str, str]:
             ["day", "event_type"], (0.5, 0.95), CFG,
             order_by="day, event_type, q",
         ),
+        "sessionize_user_events": f"""
+WITH sgs_e AS (
+  SELECT user_id, event_id, epoch_us(ts) AS tsu FROM events
+),
+sgs_f AS (
+  SELECT user_id, event_id, tsu,
+    CASE WHEN lag(tsu) OVER w IS NULL
+           OR (cast(tsu AS double) - cast(lag(tsu) OVER w AS double))
+              > {float(_SESSION_GAP_US)} THEN 1 ELSE 0 END AS ns
+  FROM sgs_e
+  WINDOW w AS (PARTITION BY user_id ORDER BY tsu ASC, event_id ASC)
+),
+sgs_g AS (
+  SELECT user_id, event_id, tsu,
+    cast(sum(ns) OVER (PARTITION BY user_id ORDER BY tsu ASC, event_id ASC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         - 1 AS int) AS session_idx
+  FROM sgs_f
+)
+SELECT user_id, session_idx, count(*) AS n_events,
+       min(event_id) AS first_event,
+       round(cast(max(tsu) - min(tsu) AS double) / 1000000.0, 6) AS duration_s
+FROM sgs_g GROUP BY user_id, session_idx
+ORDER BY user_id, session_idx""",
+        "asof_purchase_last_click": """
+WITH sgs_e AS (
+  SELECT event_id, user_id, event_type, epoch_us(ts) AS tsu FROM events
+),
+sgs_u AS (
+  SELECT user_id AS k, cast(tsu AS double) AS o_ts, 1 AS side,
+         event_id AS tb, event_id, tsu,
+         cast(NULL AS bigint) AS p_event_id, cast(NULL AS bigint) AS p_tsu
+  FROM sgs_e WHERE event_type = 'purchase'
+  UNION ALL
+  SELECT user_id, cast(tsu AS double), 0, event_id,
+         cast(NULL AS bigint), cast(NULL AS bigint), event_id, tsu
+  FROM sgs_e WHERE event_type = 'click'
+),
+sgs_c AS (
+  SELECT event_id, k, tsu,
+         last_value(p_event_id IGNORE NULLS) OVER w AS a_event_id,
+         last_value(p_tsu IGNORE NULLS) OVER w AS a_tsu,
+         side
+  FROM sgs_u
+  WINDOW w AS (PARTITION BY k ORDER BY o_ts ASC, side ASC, tb ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT event_id, k AS user_id, a_event_id AS click_event_id,
+       round(cast(tsu - a_tsu AS double) / 1000000.0, 6) AS gap_s
+FROM sgs_c WHERE side = 1 ORDER BY event_id""",
         # Exactness of the cube pattern: bins are a sum-monoid, so
         # cube→filter→rollup equals bins built directly on the range-filtered
         # rows — which is what this oracle computes.

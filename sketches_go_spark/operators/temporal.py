@@ -1,0 +1,125 @@
+"""Temporal relational operators over event / transcript streams:
+gap-based sessionization and as-of (most-recent-prior) joins.
+
+Spark has no built-in for either; both are expressed as single-shuffle
+window compositions (no per-key Python, no iterative driver loops), so they
+inherit whole-stage codegen and scale with ordinary hash partitioning on the
+entity key:
+
+- **sessionize**: the classic lag-gap-cumsum — a session boundary is a gap
+  greater than the threshold; the running sum of boundary flags IS the
+  session index.  One shuffle on the entity key.
+- **asof_join**: the union trick — tag both sides, sort by (key, ts, side)
+  and carry the right side's payload forward with ``last(..., ignorenulls)``
+  over an unbounded-preceding row frame.  One shuffle TOTAL for both inputs
+  (vs the naive per-left-row subquery, which is a quadratic disaster), ties
+  resolve as at-or-before (right row at the same timestamp matches), which
+  is exactly DuckDB/pandas ``ASOF JOIN``/``merge_asof`` backward semantics.
+
+Determinism: callers supply a total-order tiebreak column (an id) so window
+orders are unique — required for the cross-engine oracle replays."""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def sessionize(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    tiebreak_col: str,
+    gap: float,
+) -> DataFrame:
+    """Adds ``session_idx`` (0-based per key, in time order): a new session
+    starts at the first event and whenever the gap since the previous event
+    exceeds ``gap`` (in the ts column's unit — pass unix micros + a micros
+    gap for exact integer arithmetic).  One shuffle, on ``key_col``."""
+    w = Window.partitionBy(key_col).orderBy(
+        F.col(ts_col).asc(), F.col(tiebreak_col).asc()
+    )
+    prev_ts = F.lag(F.col(ts_col)).over(w)
+    gap_c = F.col(ts_col).cast("double") - prev_ts.cast("double")
+    new_sess = F.when(
+        prev_ts.isNull() | (gap_c > F.lit(float(gap))), 1
+    ).otherwise(0)
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return df.withColumn(
+        "session_idx", (F.sum(new_sess).over(run) - F.lit(1)).cast("int")
+    )
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_col: str,
+    left_ts: str,
+    right_ts: str,
+    payload_cols: Sequence[str],
+    left_tb: str,
+    right_tb: str,
+    how: str = "inner",
+) -> DataFrame:
+    """For each left row, attach the payload of the right row with the
+    greatest ``right_ts <= left_ts`` for the same key (backward as-of,
+    inclusive).  Payload columns surface as ``asof_<name>``; ``how='left'``
+    keeps unmatched left rows with null payloads.
+
+    Implementation is the union trick (module docstring): both inputs are
+    tagged and unioned, ONE window pass carries the latest right payload
+    forward, then left rows are filtered back out.  Right rows sort before
+    left rows at an equal timestamp, which yields the inclusive tie rule.
+
+    ``left_tb``/``right_tb`` are per-side id columns making the window order
+    total (equal-timestamp right rows would otherwise resolve arbitrarily —
+    the deterministic rule is: highest tiebreak id wins among equal-ts right
+    rows, matching the oracle replay).
+
+    At 100-TB scale the single exchange is on ``key_col``; skew in the key
+    (one hot entity) serializes that entity's timeline — inherent to as-of
+    semantics, mitigated upstream by time-bucketing the key if needed."""
+    if how not in ("inner", "left"):
+        raise ValueError("how must be 'inner' or 'left'")
+    lt = left.select(
+        F.col(key_col).alias("_k"),
+        F.col(left_ts).cast("double").alias("_ts"),
+        F.lit(1).alias("_side"),
+        F.col(left_tb).cast("bigint").alias("_tb"),
+        F.struct(*[F.col(c) for c in left.columns]).alias("_lrow"),
+        F.lit(None).cast(
+            right.select(
+                F.struct(*[F.col(c) for c in payload_cols]).alias("s")
+            ).schema["s"].dataType
+        ).alias("_payload"),
+    )
+    rt = right.select(
+        F.col(key_col).alias("_k"),
+        F.col(right_ts).cast("double").alias("_ts"),
+        F.lit(0).alias("_side"),
+        F.col(right_tb).cast("bigint").alias("_tb"),
+        F.lit(None).cast(
+            left.select(
+                F.struct(*[F.col(c) for c in left.columns]).alias("s")
+            ).schema["s"].dataType
+        ).alias("_lrow"),
+        F.struct(*[F.col(c) for c in payload_cols]).alias("_payload"),
+    )
+    u = lt.unionByName(rt)
+    w = (
+        Window.partitionBy("_k")
+        .orderBy(F.col("_ts").asc(), F.col("_side").asc(), F.col("_tb").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = u.withColumn(
+        "_asof", F.last("_payload", ignorenulls=True).over(w)
+    ).where(F.col("_side") == 1)
+    if how == "inner":
+        carried = carried.where(F.col("_asof").isNotNull())
+    return carried.select(
+        "_lrow.*",
+        *[F.col(f"_asof.{c}").alias(f"asof_{c}") for c in payload_cols],
+    )

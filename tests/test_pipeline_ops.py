@@ -483,3 +483,56 @@ def test_stratified_topk_exact_group_sizes(spark):
     sizes = {r["lang"]: r["n"] for r in out.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n")).collect()}
     assert sizes == {"a": 7, "b": 7, "tiny": 1}
+
+
+def test_sessionize_gap_boundary(spark):
+    from sketches_go_spark.operators import temporal
+
+    # gaps of exactly `gap` do NOT split; strictly greater does
+    rows = [(1, 10, 0), (1, 11, 100), (1, 12, 200), (1, 13, 301), (2, 20, 0)]
+    df = spark.createDataFrame(rows, "k bigint, eid bigint, ts bigint")
+    out = temporal.sessionize(df, "k", "ts", "eid", gap=100)
+    got = {r["eid"]: r["session_idx"] for r in out.collect()}
+    assert got == {10: 0, 11: 0, 12: 0, 13: 1, 20: 0}
+
+
+def test_asof_join_matches_pandas_merge_asof(spark):
+    from sketches_go_spark.operators import temporal
+
+    rng = np.random.default_rng(11)
+    left = pd.DataFrame({
+        "k": rng.integers(0, 5, 200),
+        "ts": rng.integers(0, 1000, 200),
+        "lid": np.arange(200),
+    })
+    right = pd.DataFrame({
+        "k": rng.integers(0, 5, 300),
+        "ts": rng.integers(0, 1000, 300),
+        "rid": np.arange(300),
+    })
+    # pandas merge_asof backward-inclusive needs sorted inputs; equal right
+    # ts within a key are disambiguated by taking the LAST row (same rule as
+    # the operator's highest-tiebreak-wins), which merge_asof does natively
+    lp = left.sort_values(["ts", "lid"], kind="stable")
+    rp = right.sort_values(["ts", "rid"], kind="stable")
+    exp = pd.merge_asof(lp, rp, on="ts", by="k", direction="backward")
+    exp_map = {
+        int(r.lid): (None if pd.isna(r.rid) else int(r.rid))
+        for r in exp.itertuples()
+    }
+
+    ldf = spark.createDataFrame(left)
+    rdf = spark.createDataFrame(right)
+    out = temporal.asof_join(
+        ldf, rdf, "k", "ts", "ts", ["rid"], "lid", "rid", how="left"
+    )
+    got = {
+        int(r["lid"]): (None if r["asof_rid"] is None else int(r["asof_rid"]))
+        for r in out.collect()
+    }
+    assert got == exp_map
+    # inner drops exactly the unmatched
+    inner = temporal.asof_join(
+        ldf, rdf, "k", "ts", "ts", ["rid"], "lid", "rid", how="inner"
+    )
+    assert inner.count() == sum(v is not None for v in got.values())
