@@ -675,6 +675,49 @@ def q_streaming_stateful_ddsketch(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+def q_streaming_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming sessionization (axis B): Spark's NATIVE
+    ``session_window`` state — sessions merge in the state store as events
+    arrive, no batch re-sort.  Split rule verified empirically (pytest
+    test_sessionize_vs_native_session_window): a gap of EXACTLY the
+    threshold still merges — identical strictly-greater semantics to
+    ``operators.temporal.sessionize``, so the oracle replays the same
+    ``>`` rule as the batch sessionize oracle."""
+    stream = _staged_events_stream(spark, sf_dir)
+    ev = stream.select(
+        "user_id",
+        "event_id",
+        F.col("ts").cast("timestamp").alias("tsx"),
+    )
+    agg = ev.groupBy(
+        "user_id", F.session_window("tsx", "1 hour").alias("sw")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("event_id").alias("first_event"),
+    )
+    _STREAM_COUNTER[0] += 1
+    name = f"sgs_stream_sess_{_STREAM_COUNTER[0]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    out = spark.table(name)
+    dur = (
+        (F.unix_micros(F.col("sw.end")) - F.unix_micros(F.col("sw.start")))
+        - F.lit(_SESSION_GAP_US)
+    ).cast("double") / F.lit(1e6)
+    return out.select(
+        "user_id",
+        "first_event",
+        "n_events",
+        F.round(dur, 6).alias("duration_s"),
+    ).orderBy("user_id", "first_event")
+
+
 def q_streaming_cms_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming count-min counter relation (axis B): (event_type, row, col,
     cnt) is a SUM-monoid maintained natively by the state store; the
@@ -1118,6 +1161,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_hll_registers_by_event_type": q_streaming_hll_registers,
         "streaming_stateful_ddsketch_by_event_type": q_streaming_stateful_ddsketch,
         "streaming_cms_counters_by_event_type": q_streaming_cms_counters,
+        "streaming_session_stats": q_streaming_session_stats,
         "rel_agg_lineitem": q_rel_agg_lineitem,
         "sketch_after_join": q_sketch_after_join,
         "ddsketch_rollup": q_ddsketch_rollup,
@@ -1345,6 +1389,30 @@ FROM sgs_c WHERE side = 1 ORDER BY event_id""",
             ["event_type"], depth=4, width=512,
         )
         + " ORDER BY event_type, row, col",
+        # session_window split rule is strictly-greater (verified in pytest)
+        "streaming_session_stats": f"""
+WITH sgs_e AS (
+  SELECT user_id, event_id, epoch_us(ts) AS tsu FROM events
+),
+sgs_f AS (
+  SELECT user_id, event_id, tsu,
+    CASE WHEN lag(tsu) OVER w IS NULL
+           OR (cast(tsu AS double) - cast(lag(tsu) OVER w AS double))
+              > {float(_SESSION_GAP_US)} THEN 1 ELSE 0 END AS ns
+  FROM sgs_e
+  WINDOW w AS (PARTITION BY user_id ORDER BY tsu ASC, event_id ASC)
+),
+sgs_g AS (
+  SELECT user_id, event_id, tsu,
+    sum(ns) OVER (PARTITION BY user_id ORDER BY tsu ASC, event_id ASC
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      AS session_idx
+  FROM sgs_f
+)
+SELECT user_id, min(event_id) AS first_event, count(*) AS n_events,
+       round(cast(max(tsu) - min(tsu) AS double) / 1000000.0, 6) AS duration_s
+FROM sgs_g GROUP BY user_id, session_idx
+ORDER BY user_id, first_event""",
         "rel_agg_lineitem": """
 SELECT l_returnflag, l_linestatus,
        sum(l_quantity) AS sum_qty,

@@ -536,3 +536,72 @@ def test_asof_join_matches_pandas_merge_asof(spark):
         ldf, rdf, "k", "ts", "ts", ["rid"], "lid", "rid", how="inner"
     )
     assert inner.count() == sum(v is not None for v in got.values())
+
+
+def test_temporal_plans_single_exchange(spark):
+    """The scale claim in operators/temporal.py docstrings, asserted on the
+    physical plan: sessionize and asof_join each cost exactly ONE Exchange
+    (the hash partitioning on the entity key) — no join, no extra shuffle."""
+    from sketches_go_spark.operators import temporal
+
+    ev = spark.createDataFrame(
+        [(1, 10, 100), (1, 11, 200), (2, 12, 50)], "k bigint, eid bigint, ts bigint"
+    )
+    plan_s = (
+        temporal.sessionize(ev, "k", "ts", "eid", gap=100)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan_s.count("Exchange") == 1, plan_s
+    plan_a = (
+        temporal.asof_join(ev, ev, "k", "ts", "ts", ["eid"], "eid", "eid")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan_a.count("Exchange") == 1, plan_a
+
+
+def test_sessionize_vs_native_session_window(spark):
+    """The lag-gap-cumsum formulation and Spark's native session_window
+    produce identical sessions — including AT the exact-gap boundary, where
+    both MERGE (split is strictly-greater for both; this pins the rule the
+    streaming_session_stats oracle replays)."""
+    from sketches_go_spark.operators import temporal
+
+    rng = np.random.default_rng(3)
+    rows = []
+    eid = 0
+    for k in range(20):
+        t = 0
+        for _ in range(50):
+            # gaps of 1..99 or 101..200 seconds — never exactly 100
+            g = int(rng.integers(1, 100)) + (100 if rng.random() < 0.3 else 0)
+            g = g if g != 100 else 101
+            t += g
+            rows.append((k, eid, t))
+            eid += 1
+    df = spark.createDataFrame(rows, "k bigint, eid bigint, ts bigint")
+    mine = (
+        temporal.sessionize(df, "k", "ts", "eid", gap=100)
+        .groupBy("k", "session_idx")
+        .agg(F.min("eid").alias("first"), F.count(F.lit(1)).alias("n"))
+    )
+    native = (
+        df.select(
+            "k", "eid", F.timestamp_seconds(F.col("ts")).alias("tsx")
+        )
+        .groupBy("k", F.session_window("tsx", "100 seconds"))
+        .agg(F.min("eid").alias("first"), F.count(F.lit(1)).alias("n"))
+    )
+    a = sorted((r["k"], r["first"], r["n"]) for r in mine.collect())
+    b = sorted((r["k"], r["first"], r["n"]) for r in native.collect())
+    assert a == b
+    # boundary: exactly gap apart
+    bdf = spark.createDataFrame([(1, 0, 0), (1, 1, 100)], "k bigint, eid bigint, ts bigint")
+    assert (
+        temporal.sessionize(bdf, "k", "ts", "eid", gap=100)
+        .agg(F.max("session_idx")).collect()[0][0] == 0
+    )
+    nb = (
+        bdf.select("k", F.timestamp_seconds(F.col("ts")).alias("tsx"))
+        .groupBy("k", F.session_window("tsx", "100 seconds")).count()
+    )
+    assert nb.count() == 1  # exact-gap events merge in session_window too
