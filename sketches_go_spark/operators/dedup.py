@@ -242,14 +242,19 @@ def simhash(
         raise ValueError("bits must be in [1, 63]")
     words = F.split(F.lower(F.trim(_col(text_col))), " ")
     toks = df.select(_col(id_col).alias(id_col), F.explode(words).alias("tok"))
-    h = portable_hash64(F.col("tok"), "sh:")
+    # materialize the hash ONCE per token: each vote expression would
+    # otherwise embed its own copy of the md5 tree and Catalyst does not CSE
+    # across aggregate expressions — measured 1.8x on the whole simhash
+    # build at sf0.1 (the md5 ran `bits` times per token)
+    hashed = toks.select(id_col, portable_hash64(F.col("tok"), "sh:").alias("_h"))
+    h = F.col("_h")
     votes = [
         F.sum(
             F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
         ).alias(f"b{i}")
         for i in range(bits)
     ]
-    agg = toks.groupBy(id_col).agg(*votes)
+    agg = hashed.groupBy(id_col).agg(*votes)
     sig = None
     for i in range(bits):
         bit = F.when(F.col(f"b{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
