@@ -173,6 +173,37 @@ def q_ddsketch_udaf_bins_strategy(spark: SparkSession, sf_dir: str) -> DataFrame
     return out.select("role", "cnt", "p50", "p95", "p99").orderBy("role")
 
 
+def q_sql_api_textlen_by_role(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Plain-SQL surface: registered grouped-agg sketch functions callable
+    from spark.sql text (functions/sql_api.py).  Same core DDSketch under
+    the hood, so the oracle is the identical algorithm replay as the UDAF
+    queries.  Ergonomic path for SQL-only consumers — the 100-TB path
+    remains the relational bins / two-phase ddsketch_agg."""
+    from sketches_go_spark.functions.sql_api import register_sql_functions
+
+    register_sql_functions(spark, alpha=ALPHA)
+    _text_len_by_role(spark, sf_dir).createOrReplaceTempView("sgs_sql_api_src")
+    # grouped-agg pandas UDFs cannot share a GROUP BY with built-in
+    # aggregates (INVALID_PANDAS_UDF_PLACEMENT) — join the two aggregations
+    return spark.sql(
+        """
+        SELECT s.role, c.cnt, s.p50, s.p95, s.p99
+        FROM (
+          SELECT role,
+                 round(sgs_ddsketch_p50(v), 6) AS p50,
+                 round(sgs_ddsketch_p95(v), 6) AS p95,
+                 round(sgs_ddsketch_p99(v), 6) AS p99
+          FROM sgs_sql_api_src GROUP BY role
+        ) s
+        JOIN (
+          SELECT role, cast(count(v) AS double) AS cnt
+          FROM sgs_sql_api_src GROUP BY role
+        ) c USING (role)
+        ORDER BY role
+        """
+    ).select("role", "cnt", "p50", "p95", "p99")
+
+
 def q_ddsketch_proto_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Protobuf interop: the UDAF sketches converted to pb.DDSketch bytes and
     back (core/protobuf.py), then queried — quantiles and count must be
@@ -1138,6 +1169,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ddsketch_bins_histogram": q_ddsketch_bins_histogram,
         "ddsketch_summary_by_role": q_ddsketch_summary_by_role,
         "ddsketch_udaf_textlen_by_role": q_ddsketch_udaf_textlen_by_role,
+        "sql_api_textlen_by_role": q_sql_api_textlen_by_role,
         "ddsketch_proto_roundtrip": q_ddsketch_proto_roundtrip,
         "ddsketch_udaf_bins_strategy": q_ddsketch_udaf_bins_strategy,
         "ddsketch_daily_quantiles": q_ddsketch_daily_quantiles,
@@ -1225,6 +1257,10 @@ def oracle_sql() -> dict[str, str]:
         )
         + " ORDER BY role",
         "ddsketch_udaf_textlen_by_role": oracles.ddsketch_quantiles_sql(
+            _TEXT_LEN_MEASURE_SQL, ["role"], QS, CFG, pivot=PIVOT, order_by="role"
+        ),
+        # SQL-registered grouped-agg UDFs run the same core sketch
+        "sql_api_textlen_by_role": oracles.ddsketch_quantiles_sql(
             _TEXT_LEN_MEASURE_SQL, ["role"], QS, CFG, pivot=PIVOT, order_by="role"
         ),
         # proto round-trip preserves bins exactly -> identical oracle
