@@ -447,10 +447,12 @@ def kmv_pairwise_overlap(
         .crossJoin(names.select(F.col("g").alias("kb")))
         .where(F.col("ka") < F.col("kb"))
     )
-    am = pairs.join(ks.withColumnRenamed("g", "ka"), "ka").select(
+    # the pair list is |groups|^2/2 rows — always broadcast it so the sketch
+    # relation (the big side at high group cardinality) never shuffles
+    am = ks.withColumnRenamed("g", "ka").join(F.broadcast(pairs), "ka").select(
         "ka", "kb", "hv", F.lit(1).alias("ia"), F.lit(0).alias("ib")
     )
-    bm = pairs.join(ks.withColumnRenamed("g", "kb"), "kb").select(
+    bm = ks.withColumnRenamed("g", "kb").join(F.broadcast(pairs), "kb").select(
         "ka", "kb", "hv", F.lit(0).alias("ia"), F.lit(1).alias("ib")
     )
     u = (

@@ -428,6 +428,7 @@ def connected_components(
     e = e.localCheckpoint(eager=True) if checkpoint else e
     e0 = e  # checkpointed input edges: node universe without upstream recompute
     prev_count = e.count()
+    converged = False
     for _ in range(max_iters):
         nxt = _small_star(_large_star(e))
         if checkpoint:
@@ -437,8 +438,17 @@ def connected_components(
             nxt.join(e, ["u", "v"], "left_anti").limit(1).count() == 0
         ):
             e = nxt
+            converged = True
             break
         e, prev_count = nxt, nxt_count
+    if not converged:
+        # a partially-contracted relation labels nodes at some intermediate
+        # hop, NOT the component minimum — that is a wrong answer, not an
+        # approximation, so refuse rather than return it
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iters} rounds "
+            "(theoretical bound is O(log^2 n) — raise max_iters)"
+        )
 
     # converged star edges point (member -> component-min); add the centers
     # themselves and any nodes the input mentioned (singleton components)

@@ -605,3 +605,47 @@ def test_sessionize_vs_native_session_window(spark):
         .groupBy("k", F.session_window("tsx", "100 seconds")).count()
     )
     assert nb.count() == 1  # exact-gap events merge in session_window too
+
+
+def test_connected_components_scale_and_rounds(spark):
+    """30k-edge graph of long chains + hubs + random noise: labels equal
+    union-find and the alternating star contraction converges in far fewer
+    rounds than max_iters (the O(log^2 n) claim, observed)."""
+    rng = np.random.default_rng(17)
+    edges = []
+    nid = 0
+    for _ in range(200):          # 200 chains of length 60
+        base = nid
+        edges += [(base + i, base + i + 1) for i in range(59)]
+        nid += 60
+    for _ in range(50):           # 50 hubs of fanout 120
+        base = nid
+        edges += [(base, base + 1 + i) for i in range(120)]
+        nid += 121
+    extra = rng.integers(0, nid, (12000, 2))
+    edges += [(int(a), int(b)) for a, b in extra]
+
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        r = x
+        while parent[r] != r:
+            r = parent[r]
+        while parent[x] != r:
+            parent[x], x = r, parent[x]
+        return r
+
+    for a, b in edges:
+        if a != b:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+    exact = {x: find(x) for x in parent}
+
+    df = spark.createDataFrame(edges, "id_a bigint, id_b bigint").repartition(16)
+    got = {
+        r["node"]: r["component"]
+        for r in dedup.connected_components(df, max_iters=12).collect()
+    }
+    assert got == exact  # max_iters=12 sufficing IS the convergence claim
