@@ -335,6 +335,26 @@ def _events_micros(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ddsketch_sliding_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MOVING-window sketch cube: trailing 7-day p95 per (day, event_type)
+    computed entirely from the per-day bins cube (each day-bin row is
+    exploded into the 7 days it serves, then re-summed — window x cube rows,
+    raw data never rescanned).  Exact by the sum-monoid; the oracle builds
+    bins directly on each day's trailing 7-day slice."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        F.unix_date(F.to_date(F.col("ts"))).alias("day_i"),
+        "event_type",
+        F.col("value").cast("double").alias("v"),
+    )
+    cube = dd.build_bins(ev, "v", ["day_i", "event_type"], CFG)
+    slid = dd.sliding_bins(cube, "day_i", ["day_i", "event_type"], window=7)
+    days = ev.select("day_i").distinct()
+    slid = slid.join(F.broadcast(days), "day_i")  # only observed days
+    return dd.quantiles_from_bins(
+        slid, ["day_i", "event_type"], (0.95,), CFG
+    ).orderBy("day_i", "event_type", "q")
+
+
 def q_sessionize_user_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization (1-hour gap per user) rolled up per session:
     the lag-gap-cumsum window composition — one shuffle on user_id, whole-
@@ -1174,6 +1194,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ddsketch_udaf_bins_strategy": q_ddsketch_udaf_bins_strategy,
         "ddsketch_daily_quantiles": q_ddsketch_daily_quantiles,
         "ddsketch_cube_range_quantiles": q_ddsketch_cube_range_quantiles,
+        "ddsketch_sliding_quantiles": q_ddsketch_sliding_quantiles,
         "sessionize_user_events": q_sessionize_user_events,
         "asof_purchase_last_click": q_asof_purchase_last_click,
         "ddsketch_collapsed_bins": q_ddsketch_collapsed_bins,
@@ -1276,6 +1297,17 @@ def oracle_sql() -> dict[str, str]:
             " cast(value AS double) AS v FROM events",
             ["day", "event_type"], (0.5, 0.95), CFG,
             order_by="day, event_type, q",
+        ),
+        # direct build on each trailing slice == cube-explode-resum (monoid)
+        "ddsketch_sliding_quantiles": oracles.ddsketch_quantiles_sql(
+            """SELECT d.day_i, e.event_type, cast(e.value AS double) AS v
+FROM events e
+JOIN (SELECT DISTINCT date_diff('day', DATE '1970-01-01', cast(ts AS date))
+             AS day_i FROM events) d
+  ON date_diff('day', DATE '1970-01-01', cast(e.ts AS date))
+     BETWEEN d.day_i - 6 AND d.day_i""",
+            ["day_i", "event_type"], (0.95,), CFG,
+            order_by="day_i, event_type, q",
         ),
         "sessionize_user_events": f"""
 WITH sgs_e AS (

@@ -725,6 +725,38 @@ def rollup_bins(
     )
 
 
+def sliding_bins(
+    bins: DataFrame,
+    time_col: str,
+    keys: Sequence[str],
+    window: int,
+) -> DataFrame:
+    """Trailing-window bins from a per-period bins cube: for each period t,
+    the bins of periods [t-window+1, t] — i.e. a MOVING sketch (7-day p95
+    per day) computed entirely from the tiny cube, never rescanning raw
+    data.  ``time_col`` must be an integer period (e.g. epoch day).
+
+    Implementation: each cube row contributes to the ``window`` periods it
+    serves, materialized with ``explode(sequence(t, t+window-1))`` and
+    re-summed — a windowed sum over (sign, bucket) rows would silently DROP
+    periods where a bucket had no same-day row (the missing-rows pitfall of
+    sparse window aggregation).  Cost: window × cube rows, independent of
+    the raw data size.  Output periods beyond the data's max period (the
+    tail where a row still serves future windows) are included; filter to
+    the observed range if undesired."""
+    t = F.col(time_col)
+    served = F.explode(
+        F.sequence(t, t + F.lit(int(window) - 1))
+    ).alias(time_col)
+    other = [k for k in keys if k != time_col]
+    contrib = bins.select(
+        served, *other, "sign", "bucket", "count"
+    )
+    return contrib.groupBy(time_col, *other, "sign", "bucket").agg(
+        F.sum("count").alias("count")
+    )
+
+
 def reweight_bins(bins: DataFrame, w: float) -> DataFrame:
     """Scale every count by w > 0 — distribution-invariant
     (ddsketch.go:514-529)."""
