@@ -475,6 +475,24 @@ def q_hll_cube_range_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_type")
 
 
+def q_hll_sliding_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Moving distinct-users: trailing 7-day uniques per (day, event_type)
+    from the per-day HLL register cube (max-monoid sliding — the distinct
+    twin of ddsketch_sliding_quantiles)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        F.unix_date(F.to_date(F.col("ts"))).alias("day_i"),
+        "event_type",
+        "user_id",
+    )
+    cube = sk.hll_registers(ev, "user_id", ["day_i", "event_type"], p=HLL_P)
+    slid = sk.hll_sliding_registers(cube, "day_i", ["day_i", "event_type"], 7)
+    days = ev.select("day_i").distinct()
+    slid = slid.join(F.broadcast(days), "day_i")
+    return sk.hll_estimate_from_registers(
+        slid, ["day_i", "event_type"], p=HLL_P
+    ).orderBy("day_i", "event_type")
+
+
 def q_kmv_event_type_user_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KMV bottom-k theta sketch: pairwise distinct-user OVERLAP between
     event types (union / intersection / Jaccard estimates) — the set-
@@ -1205,6 +1223,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_udaf_distinct_by_role": q_hll_udaf_distinct_by_role,
         "hll_cube_range_distinct": q_hll_cube_range_distinct,
         "kmv_event_type_user_overlap": q_kmv_event_type_user_overlap,
+        "hll_sliding_distinct": q_hll_sliding_distinct,
         "cms_tool_counts": q_cms_tool_counts,
         "cms_heavy_hitters": q_cms_heavy_hitters,
         "bloom_probe_tools": q_bloom_probe_tools,
@@ -1414,6 +1433,17 @@ FROM sgs_c WHERE side = 1 ORDER BY event_id""",
             ["event_type"], p=HLL_P,
         )
         + " ORDER BY event_type",
+        # direct registers on each trailing slice == cube-explode-remax
+        "hll_sliding_distinct": oracles.hll_estimate_sql(
+            """SELECT d.day_i, e.event_type, e.user_id AS item
+FROM events e
+JOIN (SELECT DISTINCT date_diff('day', DATE '1970-01-01', cast(ts AS date))
+             AS day_i FROM events) d
+  ON date_diff('day', DATE '1970-01-01', cast(e.ts AS date))
+     BETWEEN d.day_i - 6 AND d.day_i""",
+            ["day_i", "event_type"], p=HLL_P,
+        )
+        + " ORDER BY day_i, event_type",
         "kmv_event_type_user_overlap": oracles.kmv_overlap_sql(
             "SELECT event_type, user_id AS item FROM events",
             "event_type", k=KMV_K,

@@ -225,6 +225,28 @@ def hll_rollup_registers(
     return regs.groupBy(*to_keys, "reg").agg(F.max("rho").alias("rho"))
 
 
+def hll_sliding_registers(
+    regs: DataFrame,
+    time_col: str,
+    keys: Sequence[str],
+    window: int,
+) -> DataFrame:
+    """Trailing-window registers from a per-period register cube: the
+    max-monoid twin of ddsketch_fns.sliding_bins — each (period, reg, rho)
+    row is exploded into the ``window`` periods it serves and re-maxed, so
+    moving distinct counts (trailing 7-day uniques per day) cost
+    window × cube rows with no rescan and no missing-sparse-row pitfall."""
+    t = F.col(time_col)
+    served = F.explode(F.sequence(t, t + F.lit(int(window) - 1))).alias(
+        time_col
+    )
+    other = [k for k in keys if k != time_col]
+    contrib = regs.select(served, *other, "reg", "rho")
+    return contrib.groupBy(time_col, *other, "reg").agg(
+        F.max("rho").alias("rho")
+    )
+
+
 def hll_estimate_from_registers(
     regs: DataFrame,
     keys: Sequence[str],
