@@ -286,6 +286,23 @@ def main() -> None:
         lambda: dd.ddsketch_agg(skew_src, "v", ["g"], cfg, strategy="combine"),
     )
 
+    # ---- training-data pipeline operators (separate section: keeps the
+    # headline `value` comparable to prior rounds) --------------------------
+    pipeline_timings: dict[str, float] = {}
+    pipeline_steal: dict[str, float] = {}
+    for name in (
+        "dedup_minhash_lsh",
+        "dedup_components",
+        "sim_ann_lsh",
+        "kmv_event_type_user_overlap",
+        "sessionize_user_events",
+        "asof_purchase_last_click",
+        "ddsketch_sliding_quantiles",
+    ):
+        best, steal = timed(lambda: qfns[name](spark, SF_DIR), 2)
+        pipeline_timings[name] = round(best, 3)
+        pipeline_steal[name] = steal
+
     # composite of per-query best-case timings (min-of-N for the synthetic
     # stages, single-shot for the sf queries) — a best-case estimate, not an
     # actual wall time
@@ -309,6 +326,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "steal_pct": steal_tags,
+                "pipeline": pipeline_timings,
+                "pipeline_steal_pct": pipeline_steal,
                 "sf": SF_DIR.rstrip("/").split("sf")[-1],
                 "turns_per_sec": round(turns_per_sec),
                 "synth_turns": SYNTH_TURNS,
