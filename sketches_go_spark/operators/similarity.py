@@ -106,13 +106,42 @@ def brute_force_topk(
     )
 
 
-def lsh_bucket_expr(vec: Column, planes: Sequence[Sequence[float]]) -> Column:
-    """Bucket id = integer of sign bits of the hyperplane projections."""
-    acc = F.lit(0).cast("bigint")
-    for j, plane in enumerate(planes):
-        proj = dot_expr(vec, F.array(*[F.lit(float(x)) for x in plane]))
-        acc = acc + F.when(proj > 0, F.lit(1 << j)).otherwise(F.lit(0))
-    return acc
+#: literal plane-matrix Columns are expensive to CONSTRUCT (every float
+#: literal is a py4j round-trip — ~40 ms per 64-float array, a multi-second
+#: fixed cost per ANN query at band_bits=8 x 4 bands x 2 sides), but a
+#: Column is an immutable unresolved expression, so build each (band,
+#: band_bits, dim) matrix once per process and reuse it across queries.
+_PLANES_COL_CACHE: dict[tuple, tuple[Column, Column]] = {}
+
+
+def _planes_cols(planes: Sequence[Sequence[float]], cache_key=None):
+    if cache_key is not None and cache_key in _PLANES_COL_CACHE:
+        return _PLANES_COL_CACHE[cache_key]
+    planes2d = F.array(*[F.lit([float(x) for x in p]) for p in planes])
+    weights = F.lit([int(1) << j for j in range(len(planes))])
+    if cache_key is not None:
+        _PLANES_COL_CACHE[cache_key] = (planes2d, weights)
+    return planes2d, weights
+
+
+def lsh_bucket_expr(
+    vec: Column, planes: Sequence[Sequence[float]], cache_key=None
+) -> Column:
+    """Bucket id = integer of sign bits of the hyperplane projections.
+
+    One nested-array literal + higher-order functions rather than one fold
+    expression per plane (the per-plane formulation made tiny ANN queries
+    pay a multi-second plan-construction cost regardless of data size).
+    Values are identical: per-plane left-fold dot, bit j set iff
+    projection j > 0."""
+    planes2d, weights = _planes_cols(planes, cache_key)
+    projs = F.transform(planes2d, lambda p: dot_expr(vec, p))
+    bits = F.zip_with(
+        projs, weights, lambda pr, w: F.when(pr > 0, w).otherwise(F.lit(0))
+    )
+    return F.aggregate(
+        bits, F.lit(0).cast("bigint"), lambda acc, x: acc + x
+    )
 
 
 def band_planes(band: int, band_bits: int, dim: int) -> list[list[float]]:
@@ -145,7 +174,11 @@ def _banded_keys(
     column, so probes are cheap XORs, not re-projections."""
     out = df
     for bnd in range(n_bands):
-        key = lsh_bucket_expr(F.col(vec_col), band_planes(bnd, band_bits, dim))
+        key = lsh_bucket_expr(
+            F.col(vec_col),
+            band_planes(bnd, band_bits, dim),
+            cache_key=(bnd, band_bits, dim),
+        )
         out = out.withColumn(f"_k{bnd}", key)
     structs = []
     for bnd in range(n_bands):
