@@ -303,10 +303,11 @@ def ivf_centroid(c: int, dim: int) -> list[float]:
 
 def ivf_cell_dots_expr(vec: Column, centroids: Sequence[Sequence[float]]) -> Column:
     """Array of dot products against every coarse centroid (JVM fold, fixed
-    order — bit-identical across engines)."""
-    return F.array(
-        *[dot_expr(vec, F.array(*[F.lit(float(x)) for x in c])) for c in centroids]
-    )
+    order — bit-identical across engines).  One list-literal per centroid +
+    a transform, not one literal per component (same plan-construction-cost
+    fix as lsh_bucket_expr — was n_centroids x dim py4j round-trips)."""
+    cents2d = F.array(*[F.lit([float(x) for x in c]) for c in centroids])
+    return F.transform(cents2d, lambda c: dot_expr(vec, c))
 
 
 def ivf_topk(
