@@ -63,11 +63,14 @@ def asof_join(
     left_tb: str,
     right_tb: str,
     how: str = "inner",
+    direction: str = "backward",
 ) -> DataFrame:
     """For each left row, attach the payload of the right row with the
-    greatest ``right_ts <= left_ts`` for the same key (backward as-of,
-    inclusive).  Payload columns surface as ``asof_<name>``; ``how='left'``
-    keeps unmatched left rows with null payloads.
+    greatest ``right_ts <= left_ts`` for the same key (``direction=
+    'backward'``, inclusive — the default), or the smallest ``right_ts >=
+    left_ts`` (``'forward'``, implemented by negating the time axis; both
+    match pandas merge_asof).  Payload columns surface as ``asof_<name>``;
+    ``how='left'`` keeps unmatched left rows with null payloads.
 
     Implementation is the union trick (module docstring): both inputs are
     tagged and unioned, ONE window pass carries the latest right payload
@@ -84,9 +87,12 @@ def asof_join(
     semantics, mitigated upstream by time-bucketing the key if needed."""
     if how not in ("inner", "left"):
         raise ValueError("how must be 'inner' or 'left'")
+    if direction not in ("backward", "forward"):
+        raise ValueError("direction must be 'backward' or 'forward'")
+    sgn = F.lit(1.0) if direction == "backward" else F.lit(-1.0)
     lt = left.select(
         F.col(key_col).alias("_k"),
-        F.col(left_ts).cast("double").alias("_ts"),
+        (sgn * F.col(left_ts).cast("double")).alias("_ts"),
         F.lit(1).alias("_side"),
         F.col(left_tb).cast("bigint").alias("_tb"),
         F.struct(*[F.col(c) for c in left.columns]).alias("_lrow"),
@@ -98,7 +104,7 @@ def asof_join(
     )
     rt = right.select(
         F.col(key_col).alias("_k"),
-        F.col(right_ts).cast("double").alias("_ts"),
+        (sgn * F.col(right_ts).cast("double")).alias("_ts"),
         F.lit(0).alias("_side"),
         F.col(right_tb).cast("bigint").alias("_tb"),
         F.lit(None).cast(

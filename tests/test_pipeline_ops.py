@@ -649,3 +649,41 @@ def test_connected_components_scale_and_rounds(spark):
         for r in dedup.connected_components(df, max_iters=12).collect()
     }
     assert got == exact  # max_iters=12 sufficing IS the convergence claim
+
+
+def test_asof_join_forward_matches_pandas(spark):
+    from sketches_go_spark.operators import temporal
+
+    rng = np.random.default_rng(23)
+    left = pd.DataFrame({
+        "k": rng.integers(0, 4, 150),
+        "ts": rng.integers(0, 800, 150),
+        "lid": np.arange(150),
+    })
+    right = pd.DataFrame({
+        "k": rng.integers(0, 4, 200),
+        "ts": rng.integers(0, 800, 200),
+        "rid": np.arange(200),
+    })
+    lp = left.sort_values(["ts", "lid"], kind="stable")
+    rp = right.sort_values(["ts", "rid"], kind="stable")
+    exp = pd.merge_asof(lp, rp, on="ts", by="k", direction="forward")
+    # pandas forward takes the FIRST of equal-ts right rows; our rule is
+    # highest-tiebreak-wins symmetric with backward, so only compare rows
+    # where the chosen ts is unambiguous OR accept either — instead compare
+    # the matched TS value, which is direction-defining and tie-free
+    rts = right.set_index("rid")["ts"]
+    exp_ts = {
+        int(r.lid): (None if pd.isna(r.rid) else int(rts[int(r.rid)]))
+        for r in exp.itertuples()
+    }
+    out = temporal.asof_join(
+        spark.createDataFrame(left), spark.createDataFrame(right),
+        "k", "ts", "ts", ["rid", "ts"], "lid", "rid",
+        how="left", direction="forward",
+    )
+    got_ts = {
+        int(r["lid"]): (None if r["asof_ts"] is None else int(r["asof_ts"]))
+        for r in out.collect()
+    }
+    assert got_ts == exp_ts
