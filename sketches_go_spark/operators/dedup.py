@@ -357,6 +357,7 @@ def connected_components(
     dst_col: str = "id_b",
     max_iters: int = 50,
     checkpoint: bool = True,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """(node, component) for every node on a non-self-loop edge — component
     is the MINIMUM node id reachable, so the labeling is deterministic and
@@ -383,19 +384,92 @@ def connected_components(
     round's (same count + empty anti-join — two tiny jobs per round on a
     (bigint, bigint) relation, no probabilistic checksum).
 
+    ``checkpoint_dir`` makes the ITERATION durable (the north-rule resume
+    contract for an iterative job): each round's edge relation is written as
+    parquet (``round_NNNN``) with a JSONL manifest line (round, edge count,
+    wall seconds, converged flag).  A restarted call with the same dir skips
+    every completed round — including the expensive round 0, the pair
+    relation itself — and a converged manifest returns the result without
+    running any round at all.  With a durable dir the ephemeral
+    ``localCheckpoint`` is unnecessary (parquet read-back truncates lineage
+    the same way).
+
     Scale shape: only (bigint, bigint) pairs ever shuffle — never document
     payloads; each round is map-side-combinable min-aggregation, so the wide
     exchange carries one row per distinct node, and skewed star centers
     (one huge near-dup cluster) are exactly the high-fanout nodes large-star
     is designed to split across reducers."""
-    e = (
-        edges.select(
-            _col(src_col).cast("bigint").alias("u"),
-            _col(dst_col).cast("bigint").alias("v"),
+    import json
+    import os
+    import time
+
+    spark = edges.sparkSession
+
+    def _finalize(star: DataFrame, initial: DataFrame) -> DataFrame:
+        # converged star edges point (member -> component-min); add the
+        # centers themselves and singleton-component nodes from the input
+        members = star.select(
+            F.col("u").alias("node"), F.col("v").alias("component")
         )
-        .where(F.col("u") != F.col("v"))
-        .distinct()
-    )
+        nodes = (
+            initial.select(F.col("u").alias("node"))
+            .union(initial.select(F.col("v").alias("node")))
+            .distinct()
+        )
+        return nodes.join(members, "node", "left").select(
+            "node", F.coalesce("component", "node").alias("component")
+        )
+
+    def _round_path(i: int) -> str:
+        return os.path.join(checkpoint_dir, f"round_{i:04d}")
+
+    def _manifest_path() -> str:
+        return os.path.join(checkpoint_dir, "manifest.jsonl")
+
+    def _manifest() -> list[dict]:
+        if checkpoint_dir is None or not os.path.exists(_manifest_path()):
+            return []
+        with open(_manifest_path()) as f:
+            return [json.loads(ln) for ln in f if ln.strip()]
+
+    def _commit_round(df: DataFrame, i: int, wall: float, conv: bool):
+        """Write-then-append: the parquet lands fully before the manifest
+        line commits it, so a crash mid-write is re-done, never half-read."""
+        df.write.mode("overwrite").parquet(_round_path(i))
+        out = spark.read.parquet(_round_path(i))
+        with open(_manifest_path(), "a") as f:
+            f.write(json.dumps({
+                "round": i,
+                "edges": out.count(),
+                "wall_sec": round(wall, 3),
+                "converged": conv,
+            }) + "\n")
+        return out
+
+    done = _manifest()
+    start_round = 0
+    e = None
+    if done:
+        last = done[-1]
+        e = spark.read.parquet(_round_path(last["round"]))
+        if last["converged"]:
+            return _finalize(e, spark.read.parquet(_round_path(0)))
+        start_round = last["round"] + 1
+
+    if e is None:
+        t0 = time.time()
+        e = (
+            edges.select(
+                _col(src_col).cast("bigint").alias("u"),
+                _col(dst_col).cast("bigint").alias("v"),
+            )
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        if checkpoint_dir is not None:
+            os.makedirs(checkpoint_dir, exist_ok=True)
+            e = _commit_round(e, 0, time.time() - t0, False)
+            start_round = 1
 
     def _large_star(df: DataFrame) -> DataFrame:
         # symmetric neighborhood; m = min(Γ(u) ∪ {u}); emit (v, m) for v > u
@@ -425,13 +499,21 @@ def connected_components(
             .distinct()
         )
 
-    e = e.localCheckpoint(eager=True) if checkpoint else e
-    e0 = e  # checkpointed input edges: node universe without upstream recompute
+    if checkpoint_dir is None and checkpoint:
+        e = e.localCheckpoint(eager=True)
+    e0 = (
+        spark.read.parquet(_round_path(0))
+        if checkpoint_dir is not None
+        else e  # checkpointed input edges: node universe, no upstream recompute
+    )
     prev_count = e.count()
     converged = False
-    for _ in range(max_iters):
+    for i in range(max(start_round, 1), max_iters + 1):
+        t0 = time.time()
         nxt = _small_star(_large_star(e))
-        if checkpoint:
+        if checkpoint_dir is not None:
+            nxt = _commit_round(nxt, i, time.time() - t0, False)
+        elif checkpoint:
             nxt = nxt.localCheckpoint(eager=True)
         nxt_count = nxt.count()
         if nxt_count == prev_count and (
@@ -439,29 +521,22 @@ def connected_components(
         ):
             e = nxt
             converged = True
+            if checkpoint_dir is not None:
+                with open(_manifest_path(), "a") as f:
+                    f.write(json.dumps({
+                        "round": i, "edges": nxt_count,
+                        "wall_sec": 0.0, "converged": True,
+                    }) + "\n")
             break
         e, prev_count = nxt, nxt_count
     if not converged:
         # a partially-contracted relation labels nodes at some intermediate
         # hop, NOT the component minimum — that is a wrong answer, not an
-        # approximation, so refuse rather than return it
+        # approximation, so refuse rather than return it (with a durable
+        # checkpoint_dir the completed rounds are kept: re-call with a
+        # larger max_iters to continue from where this run stopped)
         raise RuntimeError(
             f"connected_components did not converge in {max_iters} rounds "
             "(theoretical bound is O(log^2 n) — raise max_iters)"
         )
-
-    # converged star edges point (member -> component-min); add the centers
-    # themselves and any nodes the input mentioned (singleton components)
-    members = e.select(F.col("u").alias("node"), F.col("v").alias("component"))
-    nodes = (
-        e0.select(F.col("u").alias("node"))
-        .union(e0.select(F.col("v").alias("node")))
-        .distinct()
-    )
-    return (
-        nodes.join(members, "node", "left")
-        .select(
-            "node",
-            F.coalesce("component", "node").alias("component"),
-        )
-    )
+    return _finalize(e, e0)

@@ -687,3 +687,38 @@ def test_asof_join_forward_matches_pandas(spark):
         for r in out.collect()
     }
     assert got_ts == exp_ts
+
+
+def test_connected_components_durable_resume(spark, tmp_path):
+    """checkpoint_dir makes the iteration durable: a converged manifest
+    returns without running rounds; a truncated manifest (simulated crash)
+    resumes mid-iteration and completes to identical labels."""
+    import json
+
+    ckpt = str(tmp_path / "cc")
+    edges = [(i, i + 1) for i in range(0, 20)] + [(100, 101)]
+    df = spark.createDataFrame(edges, "id_a bigint, id_b bigint")
+    ref = sorted(map(tuple, dedup.connected_components(df).collect()))
+
+    r1 = sorted(map(tuple, dedup.connected_components(
+        df, checkpoint_dir=ckpt).collect()))
+    assert r1 == ref
+    manifest = f"{ckpt}/manifest.jsonl"
+    lines = [json.loads(ln) for ln in open(manifest)]
+    assert lines[-1]["converged"]
+
+    # converged fast-path: input ignored, no new rounds appended
+    empty = spark.createDataFrame([], "id_a bigint, id_b bigint")
+    r2 = sorted(map(tuple, dedup.connected_components(
+        empty, checkpoint_dir=ckpt).collect()))
+    assert r2 == ref
+    assert len(open(manifest).readlines()) == len(lines)
+
+    # crash simulation: manifest truncated to round 1, parquet kept
+    keep = [ln for ln in lines if ln["round"] <= 1 and not ln["converged"]]
+    with open(manifest, "w") as f:
+        for ln in keep:
+            f.write(json.dumps(ln) + "\n")
+    r3 = sorted(map(tuple, dedup.connected_components(
+        empty, checkpoint_dir=ckpt).collect()))
+    assert r3 == ref
