@@ -348,8 +348,10 @@ def q_ddsketch_sliding_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cube = dd.build_bins(ev, "v", ["day_i", "event_type"], CFG)
     slid = dd.sliding_bins(cube, "day_i", ["day_i", "event_type"], window=7)
-    days = ev.select("day_i").distinct()
-    slid = slid.join(F.broadcast(days), "day_i")  # only observed days
+    # observed days from the CUBE, not the raw events — the raw-side
+    # distinct would be a second full scan at 100 TB
+    days = cube.select("day_i").distinct()
+    slid = slid.join(F.broadcast(days), "day_i")
     return dd.quantiles_from_bins(
         slid, ["day_i", "event_type"], (0.95,), CFG
     ).orderBy("day_i", "event_type", "q")
@@ -486,7 +488,7 @@ def q_hll_sliding_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cube = sk.hll_registers(ev, "user_id", ["day_i", "event_type"], p=HLL_P)
     slid = sk.hll_sliding_registers(cube, "day_i", ["day_i", "event_type"], 7)
-    days = ev.select("day_i").distinct()
+    days = cube.select("day_i").distinct()  # from the cube, not a raw rescan
     slid = slid.join(F.broadcast(days), "day_i")
     return sk.hll_estimate_from_registers(
         slid, ["day_i", "event_type"], p=HLL_P
