@@ -856,11 +856,20 @@ FROM events e JOIN customer c ON e.user_id = c.c_custkey
 
 # ------------------------------------------- training-data pipeline operators
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # the test files are single small parquet files -> ONE scan split, so
+    # every per-row-heavy doc operator would run on one core; repartition
+    # emulates the many-splits layout a 100-TB table gets for free from the
+    # scan itself (where this explicit shuffle would be wrong — a real
+    # deployment relies on spark.sql.files.maxPartitionBytes splits)
+    return spark.read.parquet(f"{sf_dir}/documents.parquet").repartition(
+        spark.sparkContext.defaultParallelism
+    )
 
 
 def _embs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet").repartition(
+        spark.sparkContext.defaultParallelism
+    )
 
 
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:

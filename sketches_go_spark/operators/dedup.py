@@ -49,10 +49,14 @@ def exact_dedup(
 
 
 # ------------------------------------------------------------------- shingles
-def word_shingles(text: Column, n: int = 3) -> Column:
-    """Array of word n-gram shingle strings (space-joined), pure Catalyst:
-    split once, then slice via transform(sequence(...))."""
-    words = F.split(F.lower(F.trim(text)), " ")
+def word_shingles(words: Column, n: int = 3) -> Column:
+    """Array of word n-gram shingle strings (space-joined) from a WORD-ARRAY
+    column.  The caller must materialize the tokenization into a real column
+    first (see :func:`shingle_rel`): passing ``F.split(...)`` directly would
+    inline the split expression at every ``element_at`` site inside the
+    lambda — Catalyst does not CSE into lambda bodies, so the text would be
+    re-tokenized ~n times PER SHINGLE INDEX (O(words²) per doc — measured
+    ~20 µs/shingle instead of <1)."""
     cnt = F.size(words)
     idx = F.sequence(F.lit(0), F.greatest(cnt - n, F.lit(0)))
     make = F.transform(
@@ -67,9 +71,13 @@ def word_shingles(text: Column, n: int = 3) -> Column:
 def shingle_rel(
     df: DataFrame, id_col: str, text_col: str, n: int = 3
 ) -> DataFrame:
-    """(id, shingle) distinct relation."""
+    """(id, shingle) distinct relation; tokenization materialized ONCE."""
+    wdf = df.select(
+        _col(id_col).alias(id_col),
+        F.split(F.lower(F.trim(_col(text_col))), " ").alias("_w"),
+    )
     return (
-        df.select(_col(id_col).alias(id_col), word_shingles(_col(text_col), n).alias("sh"))
+        wdf.select(id_col, word_shingles(F.col("_w"), n).alias("sh"))
         .select(id_col, F.explode("sh").alias("shingle"))
         .distinct()
     )
@@ -164,7 +172,17 @@ def minhash_lsh_pairs(
     similarity s.  Candidates are then verified with the exact n-gram
     Jaccard, so the output has no false positives."""
     assert num_perm % band_size == 0
-    sigs = minhash_signatures(df, id_col, text_col, n, num_perm)
+    # ONE aggregation pass produces the k signature minima AND the per-doc
+    # shingle count (sz) — a separate sizes pass would recompute the whole
+    # shingle relation (the expensive stage) a second time
+    sh = shingle_rel(df, id_col, text_col, n)
+    mins = [
+        F.min(portable_hash64(F.col("shingle"), minhash_salt(j))).alias(f"sig_{j}")
+        for j in range(num_perm)
+    ]
+    sigs = sh.groupBy(id_col).agg(
+        *mins, F.count(F.lit(1)).alias("_sz")
+    )
     n_bands = num_perm // band_size
     bands = F.array(
         *[
@@ -195,9 +213,8 @@ def minhash_lsh_pairs(
         .select("id_a", "id_b")
         .distinct()
     )
-    # exact verification of candidates only
-    sh = shingle_rel(df, id_col, text_col, n)
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    # exact verification of candidates only; sizes come from the sigs pass
+    sizes = sigs.select(id_col, F.col("_sz").alias("sz"))
     sh_a = sh.select(F.col(id_col).alias("id_a"), "shingle")
     sh_b = sh.select(F.col(id_col).alias("id_b"), "shingle")
     common = (
