@@ -175,6 +175,18 @@ def portable_hash64(col: Column, salt: str = "") -> Column:
     return F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("bigint")
 
 
+def xxhash64_fn(col: Column, salt: str = "") -> Column:
+    """The production hash family for operators that take a ``hash_fn``
+    switch: JVM-intrinsic xxhash64 (~20x cheaper than the md5-derived
+    portable hash), masked to the same non-negative 60-bit range so every
+    downstream modulo / shift / pigeonhole computation stays valid.  NOT
+    replayable in the DuckDB oracle — use only when cross-engine replay is
+    not needed."""
+    return F.xxhash64(F.lit(salt), col.cast("string")).bitwiseAND(
+        F.lit((1 << 60) - 1)
+    )
+
+
 def portable_hash64_sql_duckdb(expr: str, salt: str = "") -> str:
     """The DuckDB-dialect twin of :func:`portable_hash64` for oracle SQL."""
     inner = f"concat('{salt}', cast({expr} as string))"

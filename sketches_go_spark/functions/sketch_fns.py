@@ -393,7 +393,11 @@ _KMV_SCALE = float(1 << HASH_BITS)  # hash values are uniform on [0, 2^60)
 
 
 def kmv_sketch(
-    df: DataFrame, item_col: str | Column, keys: Sequence[str], k: int = 256
+    df: DataFrame,
+    item_col: str | Column,
+    keys: Sequence[str],
+    k: int = 256,
+    hash_fn=None,
 ) -> DataFrame:
     """(keys..., pos:int, hv:bigint) — the k smallest distinct item-hash
     values per group, pos = 1..k rank.  Scale shape: the distinct() and the
@@ -402,10 +406,11 @@ def kmv_sketch(
     keep them all (the estimator then returns the EXACT count)."""
     from pyspark.sql.window import Window
 
+    hash_fn = hash_fn or portable_hash64
     it = _col(item_col)
     distinct = (
         df.where(it.isNotNull())
-        .select(*keys, portable_hash64(it).alias("hv"))
+        .select(*keys, hash_fn(it, "").alias("hv"))
         .distinct()
     )
     w = Window.partitionBy(*keys).orderBy(F.col("hv").asc())

@@ -144,12 +144,19 @@ def minhash_signatures(
     text_col: str = "text",
     n: int = 3,
     num_perm: int = 16,
+    hash_fn=None,
 ) -> DataFrame:
     """(id, sig_0..sig_{k-1}): k permutation minima in ONE aggregation pass
-    over the exploded shingles (k min-columns, not k explode passes)."""
+    over the exploded shingles (k min-columns, not k explode passes).
+
+    ``hash_fn(col, salt) -> Column`` swaps the hash family: default is the
+    portable md5-derived hash (cross-engine oracle replay); production jobs
+    pass ``xxhash64_fn`` (JVM-intrinsic, ~20x cheaper) when replay is not
+    needed — same semantics, different (valid) permutations."""
+    hash_fn = hash_fn or portable_hash64
     sh = shingle_rel(df, id_col, text_col, n)
     mins = [
-        F.min(portable_hash64(F.col("shingle"), minhash_salt(j))).alias(f"sig_{j}")
+        F.min(hash_fn(F.col("shingle"), minhash_salt(j))).alias(f"sig_{j}")
         for j in range(num_perm)
     ]
     return sh.groupBy(id_col).agg(*mins)
@@ -164,6 +171,7 @@ def minhash_lsh_pairs(
     band_size: int = 4,
     threshold: float = 0.5,
     sim_decimals: int = 6,
+    hash_fn=None,
 ) -> DataFrame:
     """MinHash-LSH candidate generation + exact-Jaccard verification.
 
@@ -172,12 +180,13 @@ def minhash_lsh_pairs(
     similarity s.  Candidates are then verified with the exact n-gram
     Jaccard, so the output has no false positives."""
     assert num_perm % band_size == 0
+    hash_fn = hash_fn or portable_hash64
     # ONE aggregation pass produces the k signature minima AND the per-doc
     # shingle count (sz) — a separate sizes pass would recompute the whole
     # shingle relation (the expensive stage) a second time
     sh = shingle_rel(df, id_col, text_col, n)
     mins = [
-        F.min(portable_hash64(F.col("shingle"), minhash_salt(j))).alias(f"sig_{j}")
+        F.min(hash_fn(F.col("shingle"), minhash_salt(j))).alias(f"sig_{j}")
         for j in range(num_perm)
     ]
     sigs = sh.groupBy(id_col).agg(
@@ -188,7 +197,7 @@ def minhash_lsh_pairs(
         *[
             F.struct(
                 F.lit(b).alias("band"),
-                portable_hash64(
+                hash_fn(
                     F.concat_ws(
                         "_",
                         *[
@@ -245,6 +254,7 @@ def simhash(
     id_col: str = "doc_id",
     text_col: str = "text",
     bits: int = 60,
+    hash_fn=None,
 ) -> DataFrame:
     """(id, simhash): b-bit sign-aggregated token-hash fingerprint.
 
@@ -263,7 +273,8 @@ def simhash(
     # otherwise embed its own copy of the md5 tree and Catalyst does not CSE
     # across aggregate expressions — measured 1.8x on the whole simhash
     # build at sf0.1 (the md5 ran `bits` times per token)
-    hashed = toks.select(id_col, portable_hash64(F.col("tok"), "sh:").alias("_h"))
+    hash_fn = hash_fn or portable_hash64
+    hashed = toks.select(id_col, hash_fn(F.col("tok"), "sh:").alias("_h"))
     h = F.col("_h")
     votes = [
         F.sum(
@@ -286,6 +297,7 @@ def simhash_pairs(
     bits: int = 60,
     max_hamming: int = 3,
     block_col: str | None = None,
+    hash_fn=None,
 ) -> DataFrame:
     """(id_a, id_b, hamming) pairs with hamming(simhash) <= max_hamming.
 
@@ -302,7 +314,7 @@ def simhash_pairs(
     Scale shape: explode is x(d+1), the join keys are fine-grained
     (segment value spreads the corpus over 2^(b/(d+1)) buckets per segment),
     and the exact hamming verification runs only on candidates."""
-    sig = simhash(df, id_col, text_col, bits)
+    sig = simhash(df, id_col, text_col, bits, hash_fn=hash_fn)
     if block_col is not None:
         blocks = df.select(_col(id_col).alias(id_col), _col(block_col).alias("_blk"))
         sig = sig.join(blocks, id_col)

@@ -56,13 +56,15 @@ def hash_split(
     id_col: str | Column = "doc_id",
     weights: Mapping[str, float] | None = None,
     salt: str = "split:",
+    hash_fn=None,
 ) -> DataFrame:
     """Adds a ``split`` column: deterministic train/val/test assignment by
     hash bucket ``h % SPLIT_BUCKETS`` against cumulative thresholds.  A row's
     split depends only on (salt, id) — stable across runs and re-partitions,
     and disjoint from any other salt's sampling decisions."""
     weights = weights or {"train": 0.98, "val": 0.01, "test": 0.01}
-    bucket = F.pmod(portable_hash64(_col(id_col), salt), F.lit(SPLIT_BUCKETS))
+    hash_fn = hash_fn or portable_hash64
+    bucket = F.pmod(hash_fn(_col(id_col), salt), F.lit(SPLIT_BUCKETS))
     thresholds = split_thresholds(weights)
     expr: Column | None = None
     for name, hi in thresholds[:-1]:
@@ -78,6 +80,7 @@ def deterministic_sample(
     id_col: str | Column = "doc_id",
     rate: float = 0.01,
     salt: str = "sample:",
+    hash_fn=None,
 ) -> DataFrame:
     """Keep ~``rate`` of rows: filter ``h % SPLIT_BUCKETS < rate * buckets``.
     A pure pushdown-friendly filter — no shuffle, no RNG state; nested
@@ -86,7 +89,8 @@ def deterministic_sample(
     if not (0.0 <= rate <= 1.0):
         raise ValueError("rate must be in [0, 1]")
     thr = int(round(rate * SPLIT_BUCKETS))
-    bucket = F.pmod(portable_hash64(_col(id_col), salt), F.lit(SPLIT_BUCKETS))
+    hash_fn = hash_fn or portable_hash64
+    bucket = F.pmod(hash_fn(_col(id_col), salt), F.lit(SPLIT_BUCKETS))
     return df.where(bucket < F.lit(thr))
 
 
@@ -96,6 +100,7 @@ def stratified_topk_sample(
     id_col: str = "doc_id",
     k: int = 5,
     salt: str = "strat:",
+    hash_fn=None,
 ) -> DataFrame:
     """Exactly ``min(k, |stratum|)`` rows per key group, chosen by hash rank
     (ties broken by id — total order, so the selection is unique).  The
@@ -104,7 +109,8 @@ def stratified_topk_sample(
     strata keys; at 100 TB prefer high-cardinality strata or pre-aggregate —
     a single giant stratum serializes into one reducer like any global
     top-k."""
-    h = portable_hash64(F.col(id_col), salt)
+    hash_fn = hash_fn or portable_hash64
+    h = hash_fn(F.col(id_col), salt)
     w = Window.partitionBy(*keys).orderBy(h.asc(), F.col(id_col).asc())
     return (
         df.withColumn("rk", F.row_number().over(w).cast("int"))

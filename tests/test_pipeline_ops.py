@@ -722,3 +722,41 @@ def test_connected_components_durable_resume(spark, tmp_path):
     r3 = sorted(map(tuple, dedup.connected_components(
         empty, checkpoint_dir=ckpt).collect()))
     assert r3 == ref
+
+
+def test_hash_fn_switch_production_xxhash(spark):
+    """Every hashing operator takes hash_fn; the production xxhash64 family
+    (JVM-intrinsic, no md5) keeps the semantics: planted near-dups still
+    found, identical texts still collide, sample rates still hold, KMV
+    estimates still track truth."""
+    from sketches_go_spark.functions.expressions import xxhash64_fn
+    from sketches_go_spark.functions import sketch_fns as sk
+    from sketches_go_spark.operators import sampling
+
+    docs = spark.read.parquet(f"{SF_ORACLE}/documents.parquet")
+    lsh = dedup.minhash_lsh_pairs(docs, threshold=0.9, hash_fn=xxhash64_fn)
+    jac = dedup.ngram_jaccard_pairs(docs, threshold=0.9)
+    lsh_pairs = {(r["id_a"], r["id_b"]) for r in lsh.collect()}
+    jac_pairs = {(r["id_a"], r["id_b"]) for r in jac.collect()}
+    assert lsh_pairs <= jac_pairs and len(lsh_pairs) >= 0.8 * len(jac_pairs)
+
+    dup = spark.createDataFrame(
+        [(1, "same text here"), (2, "same text here"), (3, "other words")],
+        "doc_id bigint, text string",
+    )
+    ph = dedup.simhash_pairs(
+        dup, bits=60, max_hamming=0, hash_fn=xxhash64_fn
+    ).collect()
+    assert [(r["id_a"], r["id_b"]) for r in ph] == [(1, 2)]
+
+    ids = spark.range(0, 5000).withColumnRenamed("id", "doc_id")
+    n = sampling.deterministic_sample(ids, rate=0.1, hash_fn=xxhash64_fn).count()
+    assert 0.05 < n / 5000 < 0.15
+
+    g = spark.range(0, 9000).select(
+        F.lit("g").alias("g"), (F.col("id") % 3000).cast("string").alias("item")
+    )
+    est = sk.kmv_estimate_from_sketch(
+        sk.kmv_sketch(g, "item", ["g"], k=256, hash_fn=xxhash64_fn), ["g"], k=256
+    ).collect()[0]["est"]
+    assert abs(est - 3000) / 3000 < 0.2
