@@ -376,6 +376,30 @@ def q_sessionize_user_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_interval_join_session_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval (range) join via bucketize-explode-equijoin: each event
+    joined to the containing session interval of its user.  Spark's native
+    inequality join is a nested loop; the bucket formulation keeps it an
+    equi-join at any scale.  (Each event lands in its own session — an
+    independent cross-validation of the sessionize assignment.)"""
+    ev = _events_micros(spark, sf_dir)
+    s = temporal.sessionize(ev, "user_id", "tsu", "event_id", _SESSION_GAP_US)
+    sess = s.groupBy("user_id", "session_idx").agg(
+        F.min("tsu").alias("s_start"),
+        F.max("tsu").alias("s_end"),
+        F.min("event_id").alias("first_event"),
+    )
+    out = temporal.interval_join(
+        ev, sess, "user_id", "tsu", "s_start", "s_end",
+        ["first_event"], bucket_width=_SESSION_GAP_US,
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.col("ivl_first_event").alias("session_first_event"),
+    ).orderBy("event_id", "session_first_event")
+
+
 def q_asof_purchase_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join: each purchase event annotated with the user's most recent
     at-or-before click — the union-trick formulation (ONE shuffle total for
@@ -1226,6 +1250,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ddsketch_sliding_quantiles": q_ddsketch_sliding_quantiles,
         "sessionize_user_events": q_sessionize_user_events,
         "asof_purchase_last_click": q_asof_purchase_last_click,
+        "interval_join_session_events": q_interval_join_session_events,
         "ddsketch_collapsed_bins": q_ddsketch_collapsed_bins,
         "ddsketch_collapsed_highest_bins": q_ddsketch_collapsed_highest_bins,
         "ddsketch_weighted_bins": q_ddsketch_weighted_bins,
@@ -1363,6 +1388,34 @@ SELECT user_id, session_idx, count(*) AS n_events,
        round(cast(max(tsu) - min(tsu) AS double) / 1000000.0, 6) AS duration_s
 FROM sgs_g GROUP BY user_id, session_idx
 ORDER BY user_id, session_idx""",
+        "interval_join_session_events": f"""
+WITH sgs_e AS (
+  SELECT user_id, event_id, epoch_us(ts) AS tsu FROM events
+),
+sgs_f AS (
+  SELECT user_id, event_id, tsu,
+    CASE WHEN lag(tsu) OVER w IS NULL
+           OR (cast(tsu AS double) - cast(lag(tsu) OVER w AS double))
+              > {float(_SESSION_GAP_US)} THEN 1 ELSE 0 END AS ns
+  FROM sgs_e
+  WINDOW w AS (PARTITION BY user_id ORDER BY tsu ASC, event_id ASC)
+),
+sgs_g AS (
+  SELECT user_id, event_id, tsu,
+    sum(ns) OVER (PARTITION BY user_id ORDER BY tsu ASC, event_id ASC
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      AS session_idx
+  FROM sgs_f
+),
+sgs_sess AS (
+  SELECT user_id, session_idx, min(tsu) AS s_s, max(tsu) AS s_e,
+         min(event_id) AS first_event
+  FROM sgs_g GROUP BY user_id, session_idx
+)
+SELECT e.event_id, e.user_id, s.first_event AS session_first_event
+FROM sgs_e e
+JOIN sgs_sess s ON s.user_id = e.user_id AND e.tsu BETWEEN s.s_s AND s.s_e
+ORDER BY event_id, session_first_event""",
         "asof_purchase_last_click": """
 WITH sgs_e AS (
   SELECT event_id, user_id, event_type, epoch_us(ts) AS tsu FROM events

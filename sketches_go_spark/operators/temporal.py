@@ -53,6 +53,64 @@ def sessionize(
     )
 
 
+def interval_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    key_col: str,
+    ts_col: str,
+    start_col: str,
+    end_col: str,
+    payload_cols: Sequence[str],
+    bucket_width: int,
+    how: str = "inner",
+) -> DataFrame:
+    """Join each point row to every interval of the same key containing its
+    timestamp (``start <= ts <= end``), surfacing interval payloads as
+    ``ivl_<name>``.
+
+    Spark has no native interval join — a raw inequality join degrades to a
+    nested loop.  The scale formulation: quantize time into buckets of
+    ``bucket_width`` (same unit as the ts columns), explode each interval
+    into the buckets it covers, equi-join on (key, bucket), then filter the
+    exact containment.  A point lives in exactly ONE bucket, so a contained
+    pair meets exactly once — no dedup stage.  The explode factor is
+    interval_length/bucket_width + 1: pick the width near the typical
+    interval length (one extra row per interval, and each point probes one
+    bucket)."""
+    if how not in ("inner", "left"):
+        raise ValueError("how must be 'inner' or 'left'")
+    if bucket_width <= 0:
+        raise ValueError("bucket_width must be positive")
+    w = F.lit(int(bucket_width))
+    pt = points.withColumn("_pb", F.floor(F.col(ts_col).cast("bigint") / w))
+    iv = intervals.select(
+        F.col(key_col).alias("_ik"),
+        F.col(start_col).alias("_s"),
+        F.col(end_col).alias("_e"),
+        F.struct(*[F.col(c) for c in payload_cols]).alias("_ipay"),
+    ).withColumn(
+        "_pb",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("_s").cast("bigint") / w),
+                F.floor(F.col("_e").cast("bigint") / w),
+            )
+        ),
+    )
+    joined = pt.join(
+        iv,
+        (pt["_pb"] == iv["_pb"])
+        & (pt[key_col] == iv["_ik"])
+        & (pt[ts_col] >= iv["_s"])
+        & (pt[ts_col] <= iv["_e"]),
+        how="left" if how == "left" else "inner",
+    )
+    return joined.select(
+        *[pt[c] for c in points.columns],
+        *[F.col(f"_ipay.{c}").alias(f"ivl_{c}") for c in payload_cols],
+    )
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,

@@ -760,3 +760,40 @@ def test_hash_fn_switch_production_xxhash(spark):
         sk.kmv_sketch(g, "item", ["g"], k=256, hash_fn=xxhash64_fn), ["g"], k=256
     ).collect()[0]["est"]
     assert abs(est - 3000) / 3000 < 0.2
+
+
+def test_interval_join_vs_bruteforce(spark):
+    """Overlapping intervals, boundary inclusivity, left rows with no match,
+    and bucket-width independence — all vs a brute-force cross filter."""
+    from sketches_go_spark.operators import temporal
+
+    rng = np.random.default_rng(31)
+    pts = [(int(k), int(t), i) for i, (k, t) in enumerate(
+        zip(rng.integers(0, 3, 120), rng.integers(0, 500, 120)))]
+    ivs = []
+    for j in range(40):
+        s = int(rng.integers(0, 480))
+        ivs.append((int(rng.integers(0, 3)), s, s + int(rng.integers(0, 80)), j))
+    p = spark.createDataFrame(pts, "k bigint, ts bigint, pid bigint")
+    v = spark.createDataFrame(ivs, "k bigint, s bigint, e bigint, iid bigint")
+    exp = {
+        (pid, iid)
+        for (pk, pt_, pid) in pts
+        for (ik, s, e, iid) in ivs
+        if pk == ik and s <= pt_ <= e
+    }
+    for width in (7, 64, 1000):
+        out = temporal.interval_join(
+            p, v, "k", "ts", "s", "e", ["iid"], bucket_width=width
+        )
+        got = {(r["pid"], r["ivl_iid"]) for r in out.collect()}
+        assert got == exp, width
+    # left keeps unmatched points with null payload
+    left = temporal.interval_join(
+        p, v, "k", "ts", "s", "e", ["iid"], bucket_width=64, how="left"
+    )
+    matched_pids = {pid for pid, _ in exp}
+    rows = left.collect()
+    assert {r["pid"] for r in rows if r["ivl_iid"] is None} == (
+        {pid for _, _, pid in pts} - matched_pids
+    )
