@@ -376,6 +376,31 @@ def q_sessionize_user_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_asof_signup_next_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join: each signup annotated with the user's next
+    at-or-after purchase (time-axis negation of the backward union trick)."""
+    ev = _events_micros(spark, sf_dir)
+    left = ev.where(F.col("event_type") == "signup").select(
+        "event_id", "user_id", "tsu"
+    )
+    right = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "tsu"
+    )
+    out = temporal.asof_join(
+        left, right, "user_id", "tsu", "tsu",
+        ["event_id", "tsu"], "event_id", "event_id",
+        how="left", direction="forward",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.col("asof_event_id").alias("purchase_event_id"),
+        F.round(
+            (F.col("asof_tsu") - F.col("tsu")).cast("double") / F.lit(1e6), 6
+        ).alias("wait_s"),
+    ).orderBy("event_id")
+
+
 def q_interval_join_session_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interval (range) join via bucketize-explode-equijoin: each event
     joined to the containing session interval of its user.  Spark's native
@@ -1251,6 +1276,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize_user_events": q_sessionize_user_events,
         "asof_purchase_last_click": q_asof_purchase_last_click,
         "interval_join_session_events": q_interval_join_session_events,
+        "asof_signup_next_purchase": q_asof_signup_next_purchase,
         "ddsketch_collapsed_bins": q_ddsketch_collapsed_bins,
         "ddsketch_collapsed_highest_bins": q_ddsketch_collapsed_highest_bins,
         "ddsketch_weighted_bins": q_ddsketch_weighted_bins,
@@ -1416,6 +1442,33 @@ SELECT e.event_id, e.user_id, s.first_event AS session_first_event
 FROM sgs_e e
 JOIN sgs_sess s ON s.user_id = e.user_id AND e.tsu BETWEEN s.s_s AND s.s_e
 ORDER BY event_id, session_first_event""",
+        # forward = backward on the negated time axis (o_ts = -tsu)
+        "asof_signup_next_purchase": """
+WITH sgs_e AS (
+  SELECT event_id, user_id, event_type, epoch_us(ts) AS tsu FROM events
+),
+sgs_u AS (
+  SELECT user_id AS k, -cast(tsu AS double) AS o_ts, 1 AS side,
+         event_id AS tb, event_id, tsu,
+         cast(NULL AS bigint) AS p_event_id, cast(NULL AS bigint) AS p_tsu
+  FROM sgs_e WHERE event_type = 'signup'
+  UNION ALL
+  SELECT user_id, -cast(tsu AS double), 0, event_id,
+         cast(NULL AS bigint), cast(NULL AS bigint), event_id, tsu
+  FROM sgs_e WHERE event_type = 'purchase'
+),
+sgs_c AS (
+  SELECT event_id, k, tsu,
+         last_value(p_event_id IGNORE NULLS) OVER w AS a_event_id,
+         last_value(p_tsu IGNORE NULLS) OVER w AS a_tsu,
+         side
+  FROM sgs_u
+  WINDOW w AS (PARTITION BY k ORDER BY o_ts ASC, side ASC, tb ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT event_id, k AS user_id, a_event_id AS purchase_event_id,
+       round(cast(a_tsu - tsu AS double) / 1000000.0, 6) AS wait_s
+FROM sgs_c WHERE side = 1 ORDER BY event_id""",
         "asof_purchase_last_click": """
 WITH sgs_e AS (
   SELECT event_id, user_id, event_type, epoch_us(ts) AS tsu FROM events
