@@ -797,3 +797,23 @@ def test_interval_join_vs_bruteforce(spark):
     assert {r["pid"] for r in rows if r["ivl_iid"] is None} == (
         {pid for _, _, pid in pts} - matched_pids
     )
+
+
+def test_new_relational_queries_are_python_free(spark):
+    """KMV overlap, sliding cubes, interval join: pure Catalyst — no Python
+    evaluation node anywhere in the physical plan."""
+    import __spark_entry__ as e
+
+    for name in (
+        "kmv_event_type_user_overlap",
+        "ddsketch_sliding_quantiles",
+        "hll_sliding_distinct",
+        "interval_join_session_events",
+        "sessionize_user_events",
+        "asof_purchase_last_click",
+    ):
+        df = e.queries()[name](spark, "/root/testdata/sf0.001")
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        for marker in ("BatchEvalPython", "ArrowEvalPython", "FlatMapsInPandas",
+                       "MapInPandas", "AggregateInPandas"):
+            assert marker not in plan, (name, marker)
