@@ -838,6 +838,47 @@ def q_streaming_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("user_id", "first_event")
 
 
+def q_streaming_hll_sliding_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming-maintained register CUBE served as MOVING windows: the
+    stream keeps (day, event_type) HLL registers in the state store (a
+    bounded max-monoid — at most 2^p rows per group forever); any trailing-
+    window distinct query is then answered from the final state with the
+    same sliding rollup as the batch cube, never replaying the stream.
+    Same oracle as the batch hll_sliding_distinct (stream state == batch
+    cube exactly)."""
+    from sketches_go_spark.streaming.stream_agg import streaming_hll_registers
+
+    stream = _staged_events_stream(spark, sf_dir)
+    src = stream.select(
+        F.substring(F.col("ts").cast("string"), 1, 10).alias("day"),
+        "event_type",
+        F.col("user_id").cast("string").alias("item"),
+    )
+    regs = streaming_hll_registers(src, "item", ["day", "event_type"], p=HLL_P)
+    _STREAM_COUNTER[0] += 1
+    name = f"sgs_stream_hll_cube_{_STREAM_COUNTER[0]}"
+    q = (
+        regs.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    cube = spark.table(name).select(
+        F.unix_date(F.to_date(F.col("day"))).alias("day_i"),
+        "event_type",
+        "reg",
+        "rho",
+    )
+    slid = sk.hll_sliding_registers(cube, "day_i", ["day_i", "event_type"], 7)
+    days = cube.select("day_i").distinct()
+    slid = slid.join(F.broadcast(days), "day_i")
+    return sk.hll_estimate_from_registers(
+        slid, ["day_i", "event_type"], p=HLL_P
+    ).orderBy("day_i", "event_type")
+
+
 def q_streaming_cms_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming count-min counter relation (axis B): (event_type, row, col,
     cnt) is a SUM-monoid maintained natively by the state store; the
@@ -1296,6 +1337,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_stateful_ddsketch_by_event_type": q_streaming_stateful_ddsketch,
         "streaming_cms_counters_by_event_type": q_streaming_cms_counters,
         "streaming_session_stats": q_streaming_session_stats,
+        "streaming_hll_sliding_distinct": q_streaming_hll_sliding_distinct,
         "rel_agg_lineitem": q_rel_agg_lineitem,
         "sketch_after_join": q_sketch_after_join,
         "ddsketch_rollup": q_ddsketch_rollup,
@@ -1550,7 +1592,18 @@ FROM sgs_c WHERE side = 1 ORDER BY event_id""",
             ["event_type"], p=HLL_P,
         )
         + " ORDER BY event_type",
-        # direct registers on each trailing slice == cube-explode-remax
+        # direct registers on each trailing slice == cube-explode-remax;
+        # the streaming query serves the same windows from stream state
+        "streaming_hll_sliding_distinct": oracles.hll_estimate_sql(
+            """SELECT d.day_i, e.event_type, e.user_id AS item
+FROM events e
+JOIN (SELECT DISTINCT date_diff('day', DATE '1970-01-01', cast(ts AS date))
+             AS day_i FROM events) d
+  ON date_diff('day', DATE '1970-01-01', cast(e.ts AS date))
+     BETWEEN d.day_i - 6 AND d.day_i""",
+            ["day_i", "event_type"], p=HLL_P,
+        )
+        + " ORDER BY day_i, event_type",
         "hll_sliding_distinct": oracles.hll_estimate_sql(
             """SELECT d.day_i, e.event_type, e.user_id AS item
 FROM events e
