@@ -577,6 +577,28 @@ def q_cms_tool_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return est.join(true, "item").orderBy("item")
 
 
+def q_cms_cube_range_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min cube (the sum-monoid frequency leg of the cube matrix:
+    bins=sum, registers=max, counters=sum): per-day counters precomputed
+    once; ANY date-range frequency query is answered by sum-rolling the
+    tiny cube — oracle builds counters directly on the range-filtered rows
+    (true counts joined for the error-bound context, like cms_tool_counts)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        F.substring(F.col("ts").cast("string"), 1, 10).alias("day"),
+        F.col("user_id").cast("string").alias("item"),
+    )
+    cube = sk.cms_counters(ev, "item", ["day"], depth=4, width=512)
+    in_range = cube.where(
+        (F.col("day") >= _CUBE_LO) & (F.col("day") <= _CUBE_HI)
+    )
+    rolled = sk.cms_rollup_counters(in_range, [])
+    src_f = ev.where((F.col("day") >= _CUBE_LO) & (F.col("day") <= _CUBE_HI))
+    items = src_f.select("item").distinct()
+    est = sk.cms_estimate(rolled, items, "item", depth=4, width=512)
+    true = src_f.groupBy("item").agg(F.count(F.lit(1)).alias("true_cnt"))
+    return est.join(true, "item").orderBy("item")
+
+
 def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-5 tools per role by count-min estimate (heavy hitters over the
     CMS: candidates bounded by the per-group vocabulary, deterministic
@@ -1329,6 +1351,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_sliding_distinct": q_hll_sliding_distinct,
         "cms_tool_counts": q_cms_tool_counts,
         "cms_heavy_hitters": q_cms_heavy_hitters,
+        "cms_cube_range_counts": q_cms_cube_range_counts,
         "bloom_probe_tools": q_bloom_probe_tools,
         "kll_latency_by_role": q_kll_latency_by_role,
         "tdigest_latency_by_role": q_tdigest_latency_by_role,
@@ -1620,6 +1643,14 @@ JOIN (SELECT DISTINCT date_diff('day', DATE '1970-01-01', cast(ts AS date))
         ),
         "cms_tool_counts": oracles.cms_estimate_sql(
             _TOOL_ITEMS_SQL, depth=4, width=512
+        )
+        + " ORDER BY item",
+        # rollup-of-sum == counters built on the range-filtered rows
+        "cms_cube_range_counts": oracles.cms_estimate_sql(
+            "SELECT cast(user_id AS string) AS item FROM events "
+            f"WHERE substr(cast(ts AS string), 1, 10) >= '{_CUBE_LO}' "
+            f"AND substr(cast(ts AS string), 1, 10) <= '{_CUBE_HI}'",
+            depth=4, width=512,
         )
         + " ORDER BY item",
         "cms_heavy_hitters": oracles.cms_heavy_hitters_sql(

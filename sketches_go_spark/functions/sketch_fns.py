@@ -566,6 +566,19 @@ def cms_counters(
     )
 
 
+def cms_rollup_counters(
+    counters: DataFrame, to_keys: Sequence[str]
+) -> DataFrame:
+    """Roll a counter relation up to coarser keys: counters are a SUM-monoid
+    (cms.go MergeWith is element-wise addition), so summing over dropped
+    keys equals counters built directly at the coarser grain — the
+    count-min leg of the cube pattern (bins=sum, registers=max,
+    counters=sum)."""
+    return counters.groupBy(*to_keys, "row", "col").agg(
+        F.sum("cnt").alias("cnt")
+    )
+
+
 def cms_estimate(
     counters: DataFrame,
     items: DataFrame,
