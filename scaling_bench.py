@@ -78,6 +78,18 @@ def job():
                                    strategy="combine").count()
         return dd.ddsketch_agg(skew_src, "v", ["g"], cfg,
                                strategy="repartition").count()
+    if job_kind == "temporal":
+        # the workload's dominant raw-row shuffle shape: one window exchange
+        # on the conversation key (10M groups x 10 rows), then per-session
+        # rollup — the sessionize operator end to end
+        from sketches_go_spark.operators.temporal import sessionize
+        ev = t.select(
+            "conv_id",
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("tsu"),
+            F.col("turn_idx").cast("bigint").alias("tb"),
+        )
+        s = sessionize(ev, "conv_id", "tsu", "tb", gap=60_000_000)
+        return s.groupBy("conv_id", "session_idx").count().count()
     return dd.ddsketch_quantiles_relational(
         src, "v", ["role", "tool"], (0.5, 0.95, 0.99), cfg
     ).count()
@@ -148,13 +160,15 @@ def main() -> None:
     ap.add_argument("--low", type=int, default=8)
     ap.add_argument("--high", type=int, default=32)
     ap.add_argument("--reps", type=int, default=5)
-    ap.add_argument("--job", choices=["relational", "udaf", "skew"],
+    ap.add_argument("--job", choices=["relational", "udaf", "skew", "temporal"],
                     default="relational",
                     help="relational: parquet-scan-bound (bandwidth-limited on "
                          "ONE box); udaf: CPU-bound python path (isolates core "
                          "scaling from the shared memory bus); skew: salted vs "
                          "unsalted repartition build under a 50%%-hot key at "
-                         "--high cores (not a two-level scaling run)")
+                         "--high cores (not a two-level scaling run); "
+                         "temporal: sessionize end-to-end (the window-exchange "
+                         "shape, 10M conversation keys)")
     ap.add_argument("--no-stamp", action="store_true",
                     help="don't append the result table to BASELINE.md")
     args = ap.parse_args()
@@ -211,8 +225,13 @@ def main() -> None:
     high = measure(args.high, cache, args.turns, args.reps, args.job)
     speedup = low["best_sec"] / high["best_sec"]
     efficiency = speedup / (args.high / args.low)
+    job_label = (
+        "sessionize end-to-end (window exchange on conv_id + per-session rollup)"
+        if args.job == "temporal"
+        else f"ddsketch {args.job} p50/p95/p99 by (role, tool), synthetic numeric transcripts"
+    )
     result = {
-        "job": f"ddsketch {args.job} p50/p95/p99 by (role, tool), synthetic numeric transcripts",
+        "job": job_label,
         "turns": args.turns,
         "low": low,
         "high": high,
