@@ -322,6 +322,30 @@ def q_ddsketch_daily_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("day", "event_type", "q")
 
 
+def q_ddsketch_grouping_sets_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketches compose with GROUPING SETS (SURVEY §2.9): quantiles at BOTH
+    the (role, tool) and (role) grains from ONE aggregation pass — the bins
+    relation is grouping-set-compatible because bins are a sum-monoid, so
+    the coarser grain's bins are exactly the finer grain's re-summed."""
+    t = transcripts_from_events(spark, sf_dir).where(F.col("tool").isNotNull())
+    src = t.select(
+        "role", "tool", F.length("text").cast("double").alias("v")
+    )
+    bins = dd.build_bins(src, "v", ["role", "tool"], CFG)
+    multi = bins.groupingSets(
+        [["role", "tool", "sign", "bucket"], ["role", "sign", "bucket"]],
+        "role", "tool", "sign", "bucket",
+    ).agg(F.sum("count").alias("count"))
+    lab = multi.select(
+        F.col("role"),
+        F.coalesce("tool", F.lit("ALL")).alias("tool"),
+        "sign", "bucket", "count",
+    )
+    return dd.quantiles_from_bins(lab, ["role", "tool"], QS, CFG).orderBy(
+        "role", "tool", "q"
+    )
+
+
 _CUBE_LO, _CUBE_HI = "2024-01-08", "2024-01-21"
 _SESSION_GAP_US = 3_600_000_000  # 1 hour in micros
 
@@ -1326,6 +1350,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ddsketch_linear_quantiles_by_event_type": q_ddsketch_linear_quantiles,
         "ddsketch_cubic_quantiles_by_event_type": q_ddsketch_cubic_quantiles,
         "ddsketch_textlen_by_role": q_ddsketch_textlen_by_role,
+        "ddsketch_grouping_sets_quantiles": q_ddsketch_grouping_sets_quantiles,
         "ddsketch_latency_by_tool": q_ddsketch_latency_by_tool,
         "ddsketch_bins_histogram": q_ddsketch_bins_histogram,
         "ddsketch_summary_by_role": q_ddsketch_summary_by_role,
@@ -1409,6 +1434,22 @@ def oracle_sql() -> dict[str, str]:
         ),
         "ddsketch_textlen_by_role": oracles.ddsketch_quantiles_sql(
             _TEXT_LEN_MEASURE_SQL, ["role"], QS, CFG, order_by="role, q"
+        ),
+        # two grains = union of two single-grain replays (monoid exactness)
+        "ddsketch_grouping_sets_quantiles": (
+            "SELECT role, tool, q, est FROM ("
+            + oracles.ddsketch_quantiles_sql(
+                f"SELECT role, tool, cast(length(text) AS double) AS v "
+                f"FROM {_TRANSCRIPTS} t WHERE tool IS NOT NULL",
+                ["role", "tool"], QS, CFG,
+            )
+            + ")\nUNION ALL\nSELECT role, 'ALL' AS tool, q, est FROM ("
+            + oracles.ddsketch_quantiles_sql(
+                f"SELECT role, cast(length(text) AS double) AS v "
+                f"FROM {_TRANSCRIPTS} t WHERE tool IS NOT NULL",
+                ["role"], QS, CFG,
+            )
+            + ")\nORDER BY role, tool, q"
         ),
         "ddsketch_latency_by_tool": oracles.ddsketch_quantiles_sql(
             _LATENCY_MEASURE_SQL, ["tool"], QS, CFG, order_by="tool, q"
