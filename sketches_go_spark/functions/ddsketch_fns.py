@@ -744,6 +744,8 @@ def sliding_bins(
     the raw data size.  Output periods beyond the data's max period (the
     tail where a row still serves future windows) are included; filter to
     the observed range if undesired."""
+    if window < 1:
+        raise ValueError("window must be >= 1 period")
     t = F.col(time_col)
     served = F.explode(
         F.sequence(t, t + F.lit(int(window) - 1))

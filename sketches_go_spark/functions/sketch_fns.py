@@ -236,6 +236,8 @@ def hll_sliding_registers(
     row is exploded into the ``window`` periods it serves and re-maxed, so
     moving distinct counts (trailing 7-day uniques per day) cost
     window × cube rows with no rescan and no missing-sparse-row pitfall."""
+    if window < 1:
+        raise ValueError("window must be >= 1 period")
     t = F.col(time_col)
     served = F.explode(F.sequence(t, t + F.lit(int(window) - 1))).alias(
         time_col
@@ -406,6 +408,8 @@ def kmv_sketch(
     keep them all (the estimator then returns the EXACT count)."""
     from pyspark.sql.window import Window
 
+    if k < 1:
+        raise ValueError("k must be >= 1")
     hash_fn = hash_fn or portable_hash64
     it = _col(item_col)
     distinct = (

@@ -38,6 +38,8 @@ def split_thresholds(weights: Mapping[str, float]) -> list[tuple[str, int]]:
     """[(name, exclusive_upper_bucket)] cumulative integer thresholds.
     Weights are normalized; the last split absorbs rounding residue so the
     thresholds always cover all SPLIT_BUCKETS buckets."""
+    if any(w < 0 for w in weights.values()):
+        raise ValueError("split weights must be non-negative")
     total = float(sum(weights.values()))
     if total <= 0:
         raise ValueError("split weights must sum > 0")
