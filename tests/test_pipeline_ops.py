@@ -817,3 +817,15 @@ def test_new_relational_queries_are_python_free(spark):
         for marker in ("BatchEvalPython", "ArrowEvalPython", "FlatMapsInPandas",
                        "MapInPandas", "AggregateInPandas"):
             assert marker not in plan, (name, marker)
+
+
+def test_asof_filters_reach_the_scan(spark):
+    """Predicate pushdown evidence: the event_type filters land in the
+    parquet scan's PushedFilters (each side scans only its slice's
+    row groups), not in a post-scan Filter."""
+    import __spark_entry__ as e
+
+    df = e.queries()["asof_purchase_last_click"](spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "EqualTo(event_type,purchase)" in plan
+    assert "EqualTo(event_type,click)" in plan
