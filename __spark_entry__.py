@@ -322,6 +322,28 @@ def q_ddsketch_daily_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("day", "event_type", "q")
 
 
+def q_source_csv_textlen_by_role(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CSV landing-format reader under the correctness gate: transcripts
+    written as RFC-4180 CSV (multiLine + quote escaping — hostile text with
+    newlines/quotes/commas round-trips losslessly) and read back with the
+    ENFORCED input_hint schema, then sketched.  Hash-matching the same
+    oracle as the parquet-path query IS the per-turn text-equality claim."""
+    import hashlib
+    import os
+
+    from sketches_go_spark.sources.io import read_transcripts, write_transcripts
+
+    t = transcripts_from_events(spark, sf_dir)
+    stage = "/tmp/sgs_csv_src_v1_" + hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    if not os.path.exists(stage):
+        write_transcripts(t, stage, fmt="csv")
+    back = read_transcripts(spark, stage, fmt="csv")
+    src = back.select("role", F.length("text").cast("double").alias("v"))
+    return dd.ddsketch_quantiles_relational(
+        src, "v", ["role"], QS, CFG
+    ).orderBy("role", "q")
+
+
 def q_ddsketch_grouping_sets_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketches compose with GROUPING SETS (SURVEY §2.9): quantiles at BOTH
     the (role, tool) and (role) grains from ONE aggregation pass — the bins
@@ -1351,6 +1373,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ddsketch_cubic_quantiles_by_event_type": q_ddsketch_cubic_quantiles,
         "ddsketch_textlen_by_role": q_ddsketch_textlen_by_role,
         "ddsketch_grouping_sets_quantiles": q_ddsketch_grouping_sets_quantiles,
+        "source_csv_textlen_by_role": q_source_csv_textlen_by_role,
         "ddsketch_latency_by_tool": q_ddsketch_latency_by_tool,
         "ddsketch_bins_histogram": q_ddsketch_bins_histogram,
         "ddsketch_summary_by_role": q_ddsketch_summary_by_role,
@@ -1433,6 +1456,10 @@ def oracle_sql() -> dict[str, str]:
             order_by="event_type, q",
         ),
         "ddsketch_textlen_by_role": oracles.ddsketch_quantiles_sql(
+            _TEXT_LEN_MEASURE_SQL, ["role"], QS, CFG, order_by="role, q"
+        ),
+        # CSV round-trip preserves per-turn text -> identical quantiles
+        "source_csv_textlen_by_role": oracles.ddsketch_quantiles_sql(
             _TEXT_LEN_MEASURE_SQL, ["role"], QS, CFG, order_by="role, q"
         ),
         # two grains = union of two single-grain replays (monoid exactness)
