@@ -322,6 +322,28 @@ def q_ddsketch_daily_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("day", "event_type", "q")
 
 
+def q_sketch_warehouse_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The sketch-warehouse sink/source under the correctness gate: UDAF
+    sketches written as a partitioned parquet warehouse (byte-exact binary
+    blobs), read back, and queried — quantiles and count must equal the
+    direct UDAF result, so the oracle is the same pivot replay.  This is the
+    store-now-query-later mode mergeability exists for."""
+    import hashlib
+    import shutil
+
+    from sketches_go_spark.sources.io import read_sketches, write_sketches
+
+    sketches = dd.ddsketch_agg(
+        _text_len_by_role(spark, sf_dir), "v", ["role"], CFG
+    )
+    path = "/tmp/sgs_wh_v1_" + hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    shutil.rmtree(path, ignore_errors=True)
+    write_sketches(sketches, path, partition_by=["role"])
+    back = read_sketches(spark, path)
+    out = dd.with_summary(dd.with_quantiles(back, QS, prefix="p"))
+    return out.select("role", "cnt", "p50", "p95", "p99").orderBy("role")
+
+
 def q_source_csv_textlen_by_role(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The CSV landing-format reader under the correctness gate: transcripts
     written as RFC-4180 CSV (multiLine + quote escaping — hostile text with
@@ -1374,6 +1396,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ddsketch_textlen_by_role": q_ddsketch_textlen_by_role,
         "ddsketch_grouping_sets_quantiles": q_ddsketch_grouping_sets_quantiles,
         "source_csv_textlen_by_role": q_source_csv_textlen_by_role,
+        "sketch_warehouse_roundtrip": q_sketch_warehouse_roundtrip,
         "ddsketch_latency_by_tool": q_ddsketch_latency_by_tool,
         "ddsketch_bins_histogram": q_ddsketch_bins_histogram,
         "ddsketch_summary_by_role": q_ddsketch_summary_by_role,
@@ -1457,6 +1480,10 @@ def oracle_sql() -> dict[str, str]:
         ),
         "ddsketch_textlen_by_role": oracles.ddsketch_quantiles_sql(
             _TEXT_LEN_MEASURE_SQL, ["role"], QS, CFG, order_by="role, q"
+        ),
+        # warehouse round-trip preserves blobs byte-exactly -> same pivot
+        "sketch_warehouse_roundtrip": oracles.ddsketch_quantiles_sql(
+            _TEXT_LEN_MEASURE_SQL, ["role"], QS, CFG, pivot=PIVOT, order_by="role"
         ),
         # CSV round-trip preserves per-turn text -> identical quantiles
         "source_csv_textlen_by_role": oracles.ddsketch_quantiles_sql(
