@@ -391,6 +391,30 @@ def q_ddsketch_grouping_sets_quantiles(spark: SparkSession, sf_dir: str) -> Data
 
 
 _CUBE_LO, _CUBE_HI = "2024-01-08", "2024-01-21"
+_PSI_B_LO, _PSI_B_HI = "2024-01-22", "2024-02-04"
+
+
+def q_ddsketch_psi_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution DRIFT between two periods per event_type — Population
+    Stability Index computed entirely from the (day, event_type) bins cube
+    (two range rollups + one full-outer join of tiny relations; the raw
+    events are never rescanned).  The monitoring use case sketch cubes
+    exist for."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        F.substring(F.col("ts").cast("string"), 1, 10).alias("day"),
+        "event_type",
+        F.col("value").cast("double").alias("v"),
+    )
+    cube = dd.build_bins(ev, "v", ["day", "event_type"], CFG)
+    a = dd.rollup_bins(
+        cube.where((F.col("day") >= _CUBE_LO) & (F.col("day") <= _CUBE_HI)),
+        ["day", "event_type"], ["event_type"],
+    )
+    b = dd.rollup_bins(
+        cube.where((F.col("day") >= _PSI_B_LO) & (F.col("day") <= _PSI_B_HI)),
+        ["day", "event_type"], ["event_type"],
+    )
+    return dd.bins_psi(a, b, ["event_type"]).orderBy("event_type")
 _SESSION_GAP_US = 3_600_000_000  # 1 hour in micros
 
 
@@ -1406,6 +1430,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ddsketch_udaf_bins_strategy": q_ddsketch_udaf_bins_strategy,
         "ddsketch_daily_quantiles": q_ddsketch_daily_quantiles,
         "ddsketch_cube_range_quantiles": q_ddsketch_cube_range_quantiles,
+        "ddsketch_psi_value_drift": q_ddsketch_psi_value_drift,
         "ddsketch_sliding_quantiles": q_ddsketch_sliding_quantiles,
         "sessionize_user_events": q_sessionize_user_events,
         "asof_purchase_last_click": q_asof_purchase_last_click,
@@ -1655,6 +1680,45 @@ sgs_c AS (
 SELECT event_id, k AS user_id, a_event_id AS click_event_id,
        round(cast(tsu - a_tsu AS double) / 1000000.0, 6) AS gap_s
 FROM sgs_c WHERE side = 1 ORDER BY event_id""",
+        # PSI replay: two range-filtered bins builds, normalized, joined
+        "ddsketch_psi_value_drift": (
+            "WITH sgs_a AS (WITH "
+            + oracles.ddsketch_bins_sql(
+                "SELECT event_type, cast(value AS double) AS v FROM events "
+                f"WHERE substr(cast(ts AS string), 1, 10) >= '{_CUBE_LO}' "
+                f"AND substr(cast(ts AS string), 1, 10) <= '{_CUBE_HI}'",
+                ["event_type"], CFG,
+            )
+            + " SELECT event_type, sign, bucket, count FROM sgs_bins),\n"
+            + "sgs_b2 AS (WITH "
+            + oracles.ddsketch_bins_sql(
+                "SELECT event_type, cast(value AS double) AS v FROM events "
+                f"WHERE substr(cast(ts AS string), 1, 10) >= '{_PSI_B_LO}' "
+                f"AND substr(cast(ts AS string), 1, 10) <= '{_PSI_B_HI}'",
+                ["event_type"], CFG,
+            )
+            + " SELECT event_type, sign, bucket, count FROM sgs_bins),\n"
+            + """sgs_pa AS (
+  SELECT event_type, sign, bucket,
+         count / sum(count) OVER (PARTITION BY event_type) AS p
+  FROM sgs_a
+),
+sgs_pb AS (
+  SELECT event_type, sign, bucket,
+         count / sum(count) OVER (PARTITION BY event_type) AS q
+  FROM sgs_b2
+),
+sgs_j AS (
+  SELECT coalesce(a.event_type, b.event_type) AS event_type,
+         greatest(coalesce(a.p, 0.0), 1e-06) AS p,
+         greatest(coalesce(b.q, 0.0), 1e-06) AS q
+  FROM sgs_pa a
+  FULL OUTER JOIN sgs_pb b
+    ON a.event_type = b.event_type AND a.sign = b.sign AND a.bucket = b.bucket
+)
+SELECT event_type, round(sum((p - q) * ln(p / q)), 6) AS psi
+FROM sgs_j GROUP BY event_type ORDER BY event_type"""
+        ),
         # Exactness of the cube pattern: bins are a sum-monoid, so
         # cube→filter→rollup equals bins built directly on the range-filtered
         # rows — which is what this oracle computes.

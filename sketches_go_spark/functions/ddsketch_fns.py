@@ -759,6 +759,42 @@ def sliding_bins(
     )
 
 
+def bins_psi(
+    bins_a: DataFrame,
+    bins_b: DataFrame,
+    keys: Sequence[str],
+    eps: float = 1e-6,
+    decimals: int = 6,
+) -> DataFrame:
+    """(keys..., psi:double): Population Stability Index between two bins
+    relations over the same mapping — the standard distribution-drift score,
+    computed entirely from the tiny cubes (never rescanning raw data):
+
+        psi = Σ_buckets (p' − q') · ln(p'/q'),  p' = max(p, eps)
+
+    where p/q are each side's bucket mass fractions.  Buckets present on one
+    side only contribute with the eps floor (the classic smoothing).  Rule
+    of thumb: psi < 0.1 stable, 0.1–0.25 moderate shift, > 0.25 major shift.
+    One full-outer join of two (groups × buckets) relations — O(cube)."""
+    def _norm(df: DataFrame, out: str) -> DataFrame:
+        w = Window.partitionBy(*keys)
+        return df.select(
+            *keys, "sign", "bucket",
+            (F.col("count") / F.sum("count").over(w)).alias(out),
+        )
+    a = _norm(bins_a, "p")
+    b = _norm(bins_b, "q")
+    j = a.join(b, [*keys, "sign", "bucket"], "full_outer").select(
+        *keys,
+        F.greatest(F.coalesce("p", F.lit(0.0)), F.lit(float(eps))).alias("p"),
+        F.greatest(F.coalesce("q", F.lit(0.0)), F.lit(float(eps))).alias("q"),
+    )
+    term = (F.col("p") - F.col("q")) * F.log(F.col("p") / F.col("q"))
+    return j.groupBy(*keys).agg(
+        F.round(F.sum(term), decimals).alias("psi")
+    )
+
+
 def reweight_bins(bins: DataFrame, w: float) -> DataFrame:
     """Scale every count by w > 0 — distribution-invariant
     (ddsketch.go:514-529)."""

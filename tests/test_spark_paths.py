@@ -261,3 +261,25 @@ def test_bins_strategy_group_spans_arrow_batches(spark):
             assert got.exact_count == pytest.approx(want.exact_count)
     finally:
         spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+
+
+def test_bins_psi_identity_and_shift(spark):
+    from pyspark.sql import functions as F
+
+    from sketches_go_spark.core.ddsketch import DDSketchConfig
+    from sketches_go_spark.functions import ddsketch_fns as dd
+
+    cfg = DDSketchConfig(alpha=0.01)
+    base = spark.range(0, 20000).select(
+        F.lit("g").alias("g"), ((F.col("id") % 1000) + 1).cast("double").alias("v")
+    )
+    shifted = spark.range(0, 20000).select(
+        F.lit("g").alias("g"),
+        (((F.col("id") % 1000) + 1) * 10.0).cast("double").alias("v"),
+    )
+    ba = dd.build_bins(base, "v", ["g"], cfg)
+    bb = dd.build_bins(shifted, "v", ["g"], cfg)
+    same = dd.bins_psi(ba, ba, ["g"]).collect()[0]["psi"]
+    diff = dd.bins_psi(ba, bb, ["g"]).collect()[0]["psi"]
+    assert same == 0.0
+    assert diff > 1.0, diff  # 10x scale shift is a major-drift PSI
