@@ -1203,6 +1203,27 @@ def q_sample_stratified_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("lang", "rk")
 
 
+def q_embedding_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEMANTIC dedup groups: the embedding near-dup pair graph (banded
+    cosine LSH) closed into components — the same large-star/small-star
+    closure as the lexical dedup_components, over a different similarity
+    modality.  Every vector labeled; singletons label themselves."""
+    from pyspark.sql.window import Window
+
+    embs = _embs(spark, sf_dir)
+    pairs = sim.embedding_neardup_pairs(embs, threshold=0.3, bucket_cap=400)
+    comp = dedup.connected_components(pairs).withColumnRenamed(
+        "node", "vec_id"
+    )
+    lab = embs.select("vec_id").join(comp, "vec_id", "left").select(
+        "vec_id", F.coalesce("component", "vec_id").alias("component")
+    )
+    w = Window.partitionBy("component")
+    return lab.select(
+        "vec_id", "component", F.count(F.lit(1)).over(w).alias("csize")
+    ).orderBy("vec_id")
+
+
 def q_kmeans_assign_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic relational Lloyd's k-means (3 iterations, k=8) over the
     embeddings — an ITERATIVE algorithm with an exact cross-engine oracle:
@@ -1480,6 +1501,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_ann_lsh": q_sim_ann_lsh,
         "sim_ivf_topk": q_sim_ivf_topk,
         "embedding_neardup": q_embedding_neardup,
+        "embedding_components": q_embedding_components,
         "multimodal_frame_grid": q_multimodal_frame_grid,
         "multimodal_image_features": q_multimodal_image_features,
         "multimodal_audio_features": q_multimodal_audio_features,
@@ -1921,6 +1943,14 @@ ORDER BY l_returnflag, l_linestatus""",
         "sim_ivf_topk": opl.ivf_topk_oracle(n_centroids=16, nprobe=4),
         "embedding_neardup": opl.embedding_neardup_oracle(
             threshold=0.3, bucket_cap=400
+        ),
+        "embedding_components": opl.closure_over_pairs_sql(
+            "SELECT id_a, id_b FROM ("
+            + opl.embedding_neardup_oracle(
+                threshold=0.3, bucket_cap=400
+            ).rsplit("ORDER BY", 1)[0]
+            + ")",
+            "embeddings", "vec_id",
         ),
         # frame grid size is pure arithmetic on the deterministic metadata:
         # sequence(0, duration_ms-1, 1000) has pmod(doc_id, 60) + 1 elements

@@ -452,3 +452,29 @@ def stratified_topk_oracle(
 )
 SELECT doc_id, {key}, rk FROM sgs_rk WHERE rk <= {k}
 ORDER BY {key}, rk"""
+
+
+def closure_over_pairs_sql(
+    pairs_sql: str, src: str, id_col: str
+) -> str:
+    """Wrap ANY (id_a, id_b) pair-producing SQL into transitive-closure
+    component labeling over the full ``src`` table (min reachable id; same
+    lossless ``lbl < v`` prune as components_oracle)."""
+    return f"""WITH RECURSIVE sgs_prs AS ({pairs_sql}),
+sgs_edges AS (
+  SELECT id_a AS u, id_b AS v FROM sgs_prs
+  UNION SELECT id_b AS u, id_a AS v FROM sgs_prs
+),
+sgs_reach(node, lbl) AS (
+  SELECT DISTINCT u, u FROM sgs_edges
+  UNION
+  SELECT e.v, r.lbl FROM sgs_reach r JOIN sgs_edges e ON e.u = r.node
+  WHERE r.lbl < e.v
+),
+sgs_comp AS (SELECT node, min(lbl) AS component FROM sgs_reach GROUP BY node)
+SELECT d.{id_col},
+       coalesce(c.component, d.{id_col}) AS component,
+       count(*) OVER (PARTITION BY coalesce(c.component, d.{id_col})) AS csize
+FROM {src} d
+LEFT JOIN sgs_comp c ON c.node = d.{id_col}
+ORDER BY {id_col}"""
