@@ -1156,6 +1156,17 @@ def q_dedup_simhash_pairs_global(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
+def q_text_winnow_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric substring CONTAINMENT pairs via winnow fingerprints — the
+    copied-passage relation Jaccard misses (a short doc pasted inside a long
+    one scores cont_short ~ 1 while Jaccard stays low).  Fingerprint
+    relation doubles as the blocking index; fp_cap is the anti-quadratic
+    guard."""
+    return ops_text.winnow_containment_pairs(
+        _docs(spark, sf_dir), threshold=0.5
+    ).orderBy("id_a", "id_b")
+
+
 def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup GROUPS: transitive closure of the simhash pair graph via
     alternating large-star/small-star connected components — the stage that
@@ -1494,6 +1505,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash_pairs": q_dedup_simhash_pairs,
         "dedup_simhash_pairs_global": q_dedup_simhash_pairs_global,
         "dedup_components": q_dedup_components,
+        "text_winnow_containment": q_text_winnow_containment,
         "sample_split_documents": q_sample_split_documents,
         "sample_stratified_by_lang": q_sample_stratified_by_lang,
         "kmeans_assign_embeddings": q_kmeans_assign_embeddings,
@@ -1935,6 +1947,7 @@ ORDER BY l_returnflag, l_linestatus""",
         "dedup_simhash_pairs": opl.simhash_pairs_oracle(max_hamming=1),
         "dedup_simhash_pairs_global": opl.simhash_pairs_global_oracle(max_hamming=3),
         "dedup_components": opl.components_oracle(max_hamming=3),
+        "text_winnow_containment": opl.winnow_containment_oracle(threshold=0.5),
         "sample_split_documents": opl.sample_split_oracle(rate=0.1),
         "sample_stratified_by_lang": opl.stratified_topk_oracle(key="lang", k=5),
         "kmeans_assign_embeddings": sim.kmeans_oracle_sql(k=8, iters=3),

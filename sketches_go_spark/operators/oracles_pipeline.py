@@ -12,6 +12,7 @@ from sketches_go_spark.operators.text import (
     doc_fingerprint_sql,
     occurrences_sql,
     quality_features_sql,
+    winnow_fingerprints_sql,
 )
 
 
@@ -478,3 +479,30 @@ SELECT d.{id_col},
 FROM {src} d
 LEFT JOIN sgs_comp c ON c.node = d.{id_col}
 ORDER BY {id_col}"""
+
+
+def winnow_containment_oracle(
+    src: str = "documents", k: int = 8, w: int = 16,
+    threshold: float = 0.5, fp_cap: int = 1000,
+) -> str:
+    """Replay of text.winnow_containment_pairs (same fingerprints, same
+    doc-frequency cap, same division/rounding)."""
+    fps = winnow_fingerprints_sql(src, k=k, w=w)
+    return f"""WITH sgs_fps AS ({fps}),
+sgs_sizes AS (SELECT doc_id, count(*) AS sz FROM sgs_fps GROUP BY doc_id),
+sgs_rare AS (SELECT fp FROM sgs_fps GROUP BY fp HAVING count(*) <= {fp_cap}),
+sgs_fr AS (SELECT f.* FROM sgs_fps f JOIN sgs_rare USING (fp)),
+sgs_common AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+  FROM sgs_fr a JOIN sgs_fr b ON a.fp = b.fp AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT id_a, id_b,
+       round(common / sa.sz, 6) AS cont_a,
+       round(common / sb.sz, 6) AS cont_b
+FROM sgs_common
+JOIN sgs_sizes sa ON sa.doc_id = id_a
+JOIN sgs_sizes sb ON sb.doc_id = id_b
+WHERE round(common / sa.sz, 6) >= {threshold}
+   OR round(common / sb.sz, 6) >= {threshold}
+ORDER BY id_a, id_b"""

@@ -325,3 +325,63 @@ def doc_fingerprint(text: Column) -> Column:
 def doc_fingerprint_sql(text_expr: str) -> str:
     inner = f"concat('', cast(lower(trim({text_expr})) as string))"
     return f"cast(concat('0x', substr(md5({inner}), 1, 15)) as bigint)"
+
+
+def winnow_containment_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    w: int = 16,
+    threshold: float = 0.5,
+    fp_cap: int = 1000,
+    decimals: int = 6,
+) -> DataFrame:
+    """(id_a, id_b, cont_a, cont_b): fingerprint-containment scores for doc
+    pairs sharing winnow fingerprints — cont_a = |fp(a) ∩ fp(b)| / |fp(a)|.
+
+    Containment is the ASYMMETRIC relation Jaccard misses: a short document
+    pasted inside a long one scores cont_short ≈ 1 while Jaccard stays low.
+    Pairs kept when either side's containment >= threshold.
+
+    Scale shape mirrors ngram_jaccard_pairs: the fingerprint relation IS the
+    blocking index (pairs only meet on a shared fingerprint), and ``fp_cap``
+    drops boilerplate fingerprints shared by more than that many docs before
+    the self-join — the anti-quadratic guard."""
+    fps = winnow_fingerprints(df, id_col, text_col, k=k, w=w)
+    sizes = fps.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    rare = (
+        fps.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("docfreq"))
+        .where(F.col("docfreq") <= fp_cap)
+        .select("fp")
+    )
+    fr = fps.join(rare, "fp")
+    a = fr.select(F.col(id_col).alias("id_a"), "fp")
+    b = fr.select(F.col(id_col).alias("id_b"), "fp")
+    common = (
+        a.join(b, "fp")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    out = (
+        common.join(
+            sizes.withColumnRenamed(id_col, "id_a").withColumnRenamed("sz", "sz_a"),
+            "id_a",
+        )
+        .join(
+            sizes.withColumnRenamed(id_col, "id_b").withColumnRenamed("sz", "sz_b"),
+            "id_b",
+        )
+        .select(
+            "id_a",
+            "id_b",
+            F.round(F.col("common") / F.col("sz_a"), decimals).alias("cont_a"),
+            F.round(F.col("common") / F.col("sz_b"), decimals).alias("cont_b"),
+        )
+        .where(
+            (F.col("cont_a") >= threshold) | (F.col("cont_b") >= threshold)
+        )
+    )
+    return out

@@ -829,3 +829,28 @@ def test_asof_filters_reach_the_scan(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "EqualTo(event_type,purchase)" in plan
     assert "EqualTo(event_type,click)" in plan
+
+
+def test_winnow_containment_asymmetry(spark):
+    """A short doc pasted inside a long one: containment of the short side
+    ~1 while the long side's stays low — the asymmetric signal the operator
+    exists for (plain Jaccard would score this pair low)."""
+    from sketches_go_spark.operators import text as ops_text
+
+    rng = np.random.default_rng(41)
+    vocab = [f"w{c}" for c in rng.integers(10000, 99999, 200)]
+    long_doc = " ".join(vocab)  # non-repetitive: distinct k-grams throughout
+    short_doc = long_doc[200:650]  # verbatim passage from the middle
+    df = spark.createDataFrame(
+        [(1, long_doc), (2, short_doc), (3, "entirely different material here xyz")],
+        "doc_id bigint, text string",
+    )
+    rows = ops_text.winnow_containment_pairs(df, threshold=0.5).collect()
+    pairs = {(r["id_a"], r["id_b"]): (r["cont_a"], r["cont_b"]) for r in rows}
+    assert (1, 2) in pairs
+    ca, cb = pairs[(1, 2)]
+    # short side strongly contained; long side clearly not (winnow boundary
+    # windows keep cont of an exact passage below 1.0 — asymmetry is the
+    # detection signal, not an absolute 1.0)
+    assert cb >= 0.7 and cb > ca + 0.3, (ca, cb)
+    assert not any(3 in p for p in pairs)
