@@ -394,6 +394,27 @@ _CUBE_LO, _CUBE_HI = "2024-01-08", "2024-01-21"
 _PSI_B_LO, _PSI_B_HI = "2024-01-22", "2024-02-04"
 
 
+def q_ddsketch_mad_by_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust dispersion via TWO sketch passes: per-group approximate median
+    (pass 1), then the median of |value − median| (pass 2) — the MAD,
+    composed entirely from relational sketch builds (each pass is one
+    scan + one bins shuffle; the tiny median relation broadcasts back).
+    Output (event_type, med, mad)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_type", F.col("value").cast("double").alias("v")
+    )
+    med = dd.ddsketch_quantiles_relational(
+        ev, "v", ["event_type"], (0.5,), CFG
+    ).select("event_type", F.col("est").alias("med"))
+    dev = ev.join(F.broadcast(med), "event_type").select(
+        "event_type", "med", F.abs(F.col("v") - F.col("med")).alias("d")
+    )
+    mad = dd.ddsketch_quantiles_relational(
+        dev, "d", ["event_type"], (0.5,), CFG
+    ).select("event_type", F.col("est").alias("mad"))
+    return med.join(mad, "event_type").orderBy("event_type")
+
+
 def q_ddsketch_psi_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distribution DRIFT between two periods per event_type — Population
     Stability Index computed entirely from the (day, event_type) bins cube
@@ -1463,6 +1484,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ddsketch_daily_quantiles": q_ddsketch_daily_quantiles,
         "ddsketch_cube_range_quantiles": q_ddsketch_cube_range_quantiles,
         "ddsketch_psi_value_drift": q_ddsketch_psi_value_drift,
+        "ddsketch_mad_by_event_type": q_ddsketch_mad_by_event_type,
         "ddsketch_sliding_quantiles": q_ddsketch_sliding_quantiles,
         "sessionize_user_events": q_sessionize_user_events,
         "asof_purchase_last_click": q_asof_purchase_last_click,
@@ -1714,6 +1736,23 @@ sgs_c AS (
 SELECT event_id, k AS user_id, a_event_id AS click_event_id,
        round(cast(tsu - a_tsu AS double) / 1000000.0, 6) AS gap_s
 FROM sgs_c WHERE side = 1 ORDER BY event_id""",
+        # two-pass composition: pass-2 measure references pass-1 medians
+        "ddsketch_mad_by_event_type": (
+            "WITH sgs_med AS ("
+            + oracles.ddsketch_quantiles_sql(
+                _EVENT_VALUE_MEASURE_SQL, ["event_type"], (0.5,), CFG
+            )
+            + "),\nsgs_mad AS ("
+            + oracles.ddsketch_quantiles_sql(
+                "SELECT e.event_type, abs(cast(e.value AS double) - m.est) AS v "
+                "FROM events e JOIN sgs_med m ON m.event_type = e.event_type",
+                ["event_type"], (0.5,), CFG,
+            )
+            + """)
+SELECT m.event_type, m.est AS med, d.est AS mad
+FROM sgs_med m JOIN sgs_mad d USING (event_type)
+ORDER BY event_type"""
+        ),
         # PSI replay: two range-filtered bins builds, normalized, joined
         "ddsketch_psi_value_drift": (
             "WITH sgs_a AS (WITH "
