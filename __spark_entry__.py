@@ -415,6 +415,19 @@ def q_ddsketch_mad_by_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     return med.join(mad, "event_type").orderBy("event_type")
 
 
+def q_ddsketch_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Outlier-robust mean per event_type: bucket values clamped into the
+    group's [p05, p95] — cut points AND the clamped weighted average both
+    from the same bins cube, no raw rescan."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_type", F.col("value").cast("double").alias("v")
+    )
+    bins = dd.build_bins(ev, "v", ["event_type"], CFG)
+    return dd.winsorized_mean_from_bins(
+        bins, ["event_type"], (0.05, 0.95), CFG
+    ).orderBy("event_type")
+
+
 def q_ddsketch_psi_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distribution DRIFT between two periods per event_type — Population
     Stability Index computed entirely from the (day, event_type) bins cube
@@ -1485,6 +1498,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ddsketch_cube_range_quantiles": q_ddsketch_cube_range_quantiles,
         "ddsketch_psi_value_drift": q_ddsketch_psi_value_drift,
         "ddsketch_mad_by_event_type": q_ddsketch_mad_by_event_type,
+        "ddsketch_winsorized_mean": q_ddsketch_winsorized_mean,
         "ddsketch_sliding_quantiles": q_ddsketch_sliding_quantiles,
         "sessionize_user_events": q_sessionize_user_events,
         "asof_purchase_last_click": q_asof_purchase_last_click,
@@ -1736,6 +1750,27 @@ sgs_c AS (
 SELECT event_id, k AS user_id, a_event_id AS click_event_id,
        round(cast(tsu - a_tsu AS double) / 1000000.0, 6) AS gap_s
 FROM sgs_c WHERE side = 1 ORDER BY event_id""",
+        # clamped weighted average over the same bins as the cut points
+        "ddsketch_winsorized_mean": (
+            "WITH sgs_q AS ("
+            + oracles.ddsketch_quantiles_sql(
+                _EVENT_VALUE_MEASURE_SQL, ["event_type"], (0.05, 0.95), CFG
+            )
+            + "),\nsgs_lo AS (SELECT event_type, est AS v_lo FROM sgs_q WHERE q = 0.05),"
+            + "\nsgs_hi AS (SELECT event_type, est AS v_hi FROM sgs_q WHERE q = 0.95),"
+            + "\nsgs_b AS (WITH "
+            + oracles.ddsketch_bins_sql(_EVENT_VALUE_MEASURE_SQL, ["event_type"], CFG)
+            + " SELECT * FROM sgs_bins)\n"
+            + f"""SELECT b.event_type,
+       round(sum(least(greatest(CASE WHEN sign = 1 THEN {oracles.bucket_value_sql(CFG.mapping(), 'bucket')}
+                                     WHEN sign = -1 THEN -{oracles.bucket_value_sql(CFG.mapping(), 'bucket')}
+                                     ELSE 0.0 END, lo.v_lo), hi.v_hi) * count)
+             / sum(count), 6) AS wmean
+FROM sgs_b b
+JOIN sgs_lo lo ON lo.event_type = b.event_type
+JOIN sgs_hi hi ON hi.event_type = b.event_type
+GROUP BY b.event_type ORDER BY b.event_type"""
+        ),
         # two-pass composition: pass-2 measure references pass-1 medians
         "ddsketch_mad_by_event_type": (
             "WITH sgs_med AS ("

@@ -759,6 +759,40 @@ def sliding_bins(
     )
 
 
+def winsorized_mean_from_bins(
+    bins: DataFrame,
+    keys: Sequence[str],
+    quantiles: tuple[float, float] = (0.05, 0.95),
+    config: DDSketchConfig | None = None,
+    decimals: int = 6,
+) -> DataFrame:
+    """(keys..., wmean:double): mean with each bucket's representative value
+    clamped into the group's [p_lo, p_hi] estimates — the outlier-robust
+    mean, computed entirely from the bins relation (quantile cut points and
+    the clamped weighted average both come from the same tiny cube; raw
+    data is never rescanned)."""
+    config = config or DDSketchConfig()
+    mapping = config.mapping()
+    lo, hi = quantiles
+    qs = quantiles_from_bins(bins, keys, (lo, hi), config)
+    lo_rel = qs.where(F.col("q") == lo).select(*keys, F.col("est").alias("v_lo"))
+    hi_rel = qs.where(F.col("q") == hi).select(*keys, F.col("est").alias("v_hi"))
+    is_pos = F.col("sign") == 1
+    is_neg = F.col("sign") == -1
+    sv = F.when(is_pos, bucket_value(F.col("bucket"), mapping)).when(
+        is_neg, -bucket_value(F.col("bucket"), mapping)
+    ).otherwise(F.lit(0.0))
+    j = bins.join(F.broadcast(lo_rel), list(keys)).join(
+        F.broadcast(hi_rel), list(keys)
+    )
+    clamped = F.least(F.greatest(sv, F.col("v_lo")), F.col("v_hi"))
+    return j.groupBy(*keys).agg(
+        F.round(
+            F.sum(clamped * F.col("count")) / F.sum("count"), decimals
+        ).alias("wmean")
+    )
+
+
 def bins_psi(
     bins_a: DataFrame,
     bins_b: DataFrame,
