@@ -768,11 +768,13 @@ def test_interval_join_vs_bruteforce(spark):
     from sketches_go_spark.operators import temporal
 
     rng = np.random.default_rng(31)
+    # negative timestamps included: floor-division bucketing must align
+    # identically for points and intervals below zero
     pts = [(int(k), int(t), i) for i, (k, t) in enumerate(
-        zip(rng.integers(0, 3, 120), rng.integers(0, 500, 120)))]
+        zip(rng.integers(0, 3, 120), rng.integers(-250, 250, 120)))]
     ivs = []
     for j in range(40):
-        s = int(rng.integers(0, 480))
+        s = int(rng.integers(-250, 230))
         ivs.append((int(rng.integers(0, 3)), s, s + int(rng.integers(0, 80)), j))
     p = spark.createDataFrame(pts, "k bigint, ts bigint, pid bigint")
     v = spark.createDataFrame(ivs, "k bigint, s bigint, e bigint, iid bigint")
