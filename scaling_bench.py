@@ -54,6 +54,13 @@ def job():
         return dd.with_quantiles(
             dd.ddsketch_agg(src, "v", ["role", "tool"], cfg), (0.5, 0.95, 0.99)
         ).count()
+    if job_kind == "udaf_bins":
+        # the boundary mitigation: blobs assembled FROM the relational bins
+        # relation (raw rows never cross the Arrow boundary)
+        return dd.with_quantiles(
+            dd.ddsketch_agg(src, "v", ["role", "tool"], cfg, strategy="bins"),
+            (0.5, 0.95, 0.99),
+        ).count()
     if job_kind in ("skew_unsalted", "skew_salted", "skew_combine"):
         # one hot key owning ~87.5%% of rows among 20 groups: the repartition
         # build strategy puts the whole hot key in ONE task; row-level
@@ -160,7 +167,8 @@ def main() -> None:
     ap.add_argument("--low", type=int, default=8)
     ap.add_argument("--high", type=int, default=32)
     ap.add_argument("--reps", type=int, default=5)
-    ap.add_argument("--job", choices=["relational", "udaf", "skew", "temporal"],
+    ap.add_argument("--job",
+                    choices=["relational", "udaf", "udaf_bins", "skew", "temporal"],
                     default="relational",
                     help="relational: parquet-scan-bound (bandwidth-limited on "
                          "ONE box); udaf: CPU-bound python path (isolates core "
