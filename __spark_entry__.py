@@ -415,6 +415,41 @@ def q_ddsketch_mad_by_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     return med.join(mad, "event_type").orderBy("event_type")
 
 
+def q_ddsketch_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trend of the daily p95 per event_type: ordinary-least-squares slope
+    over the (day, p95) points that the bins cube yields — drift DIRECTION
+    and rate, composed from the same tiny relation as every other cube
+    query.  Slope in value-units per day; explicit-sums OLS so the oracle
+    replays the identical arithmetic."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        F.unix_date(F.to_date(F.col("ts"))).alias("day_i"),
+        "event_type",
+        F.col("value").cast("double").alias("v"),
+    )
+    daily = dd.ddsketch_quantiles_relational(
+        ev, "v", ["day_i", "event_type"], (0.95,), CFG
+    ).select(
+        F.col("event_type"),
+        F.col("day_i").cast("double").alias("x"),
+        F.col("est").alias("y"),
+    )
+    agg = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return agg.select(
+        "event_type",
+        F.col("n").cast("int").alias("n_days"),
+        F.round(slope, 6).alias("p95_slope_per_day"),
+    ).orderBy("event_type")
+
+
 def q_ddsketch_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Outlier-robust mean per event_type: bucket values clamped into the
     group's [p05, p95] — cut points AND the clamped weighted average both
@@ -1499,6 +1534,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ddsketch_psi_value_drift": q_ddsketch_psi_value_drift,
         "ddsketch_mad_by_event_type": q_ddsketch_mad_by_event_type,
         "ddsketch_winsorized_mean": q_ddsketch_winsorized_mean,
+        "ddsketch_daily_trend": q_ddsketch_daily_trend,
         "ddsketch_sliding_quantiles": q_ddsketch_sliding_quantiles,
         "sessionize_user_events": q_sessionize_user_events,
         "asof_purchase_last_click": q_asof_purchase_last_click,
@@ -1750,6 +1786,28 @@ sgs_c AS (
 SELECT event_id, k AS user_id, a_event_id AS click_event_id,
        round(cast(tsu - a_tsu AS double) / 1000000.0, 6) AS gap_s
 FROM sgs_c WHERE side = 1 ORDER BY event_id""",
+        # identical explicit-sums OLS over the daily p95 relation
+        "ddsketch_daily_trend": (
+            "WITH sgs_daily AS ("
+            + oracles.ddsketch_quantiles_sql(
+                "SELECT date_diff('day', DATE '1970-01-01', cast(ts AS date)) "
+                "AS day_i, event_type, cast(value AS double) AS v FROM events",
+                ["day_i", "event_type"], (0.95,), CFG,
+            )
+            + """),
+sgs_xy AS (
+  SELECT event_type, cast(day_i AS double) AS x, est AS y FROM sgs_daily
+),
+sgs_agg AS (
+  SELECT event_type, cast(count(*) AS double) AS n, sum(x) AS sx,
+         sum(y) AS sy, sum(x * y) AS sxy, sum(x * x) AS sxx
+  FROM sgs_xy GROUP BY event_type
+)
+SELECT event_type, cast(n AS int) AS n_days,
+       round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6)
+         AS p95_slope_per_day
+FROM sgs_agg ORDER BY event_type"""
+        ),
         # clamped weighted average over the same bins as the cut points
         "ddsketch_winsorized_mean": (
             "WITH sgs_q AS ("
