@@ -856,3 +856,20 @@ def test_winnow_containment_asymmetry(spark):
     # detection signal, not an absolute 1.0)
     assert cb >= 0.7 and cb > ca + 0.3, (ca, cb)
     assert not any(3 in p for p in pairs)
+
+
+def test_hash_split_entity_alignment_across_tables(spark):
+    """The documented joinability promise: two different tables sampled/split
+    on the same entity key assign every shared entity identically, so
+    feature tables stay aligned with their labels."""
+    from sketches_go_spark.operators import sampling
+
+    a = spark.range(0, 2000).select(F.col("id").alias("doc_id"),
+                                    (F.col("id") * 2).alias("feat"))
+    b = spark.range(500, 2500).select(F.col("id").alias("doc_id"),
+                                      (F.col("id") % 7).alias("label"))
+    sa = {r["doc_id"]: r["split"] for r in sampling.hash_split(a).collect()}
+    sb = {r["doc_id"]: r["split"] for r in sampling.hash_split(b).collect()}
+    shared = set(sa) & set(sb)
+    assert len(shared) == 1500
+    assert all(sa[k] == sb[k] for k in shared)
