@@ -51,7 +51,6 @@ from pyspark.sql.types import (
 from pyspark.sql.window import Window
 
 from sketches_go_spark.core.ddsketch import (
-    COLLAPSE_HIGHEST,
     COLLAPSE_LOWEST,
     COLLAPSE_NONE,
     DDSketch,

@@ -18,7 +18,6 @@ from __future__ import annotations
 from typing import Iterable, Sequence
 
 from sketches_go_spark.core.ddsketch import (
-    COLLAPSE_HIGHEST,
     COLLAPSE_LOWEST,
     COLLAPSE_NONE,
     DDSketchConfig,

@@ -29,8 +29,6 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
     BinaryType,
     DoubleType,
-    LongType,
-    StringType,
     StructField,
     StructType,
 )
