@@ -317,3 +317,56 @@ def test_streaming_hll_and_cms_equal_batch(spark, stream_dir):
         .orderBy("g", "row", "col").toPandas()
     )
     assert want_c.equals(got_c)
+
+
+def test_streaming_append_watermark_finalizes_windows(spark, tmp_path):
+    """APPEND mode + watermark: windows are emitted exactly once when the
+    watermark passes their end (state evicted), and every emitted window's
+    quantile equals the batch computation — files staged in time order so
+    no rows are late, isolating the finalization semantics."""
+    n = 5000
+    pdf = pd.DataFrame(
+        {
+            "g": RNG.choice(["x", "y"], n),
+            "v": RNG.exponential(10, n),
+            "ts": pd.Timestamp("2024-01-01") + pd.to_timedelta(np.arange(n), "s"),
+        }
+    ).sort_values("ts")
+    d = tmp_path / "ordered"
+    for sl in np.array_split(pdf, 4):
+        spark.createDataFrame(sl).coalesce(1).write.mode("append").parquet(str(d))
+    schema = spark.read.parquet(str(d)).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d))
+    )
+    bins = streaming_bins(
+        stream, "v", ["g"], CFG, time_col="ts", window="20 minutes",
+        watermark="5 minutes",
+    )
+    q = (
+        bins.writeStream.format("memory")
+        .queryName("sgs_append_wm")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.awaitTermination(180)
+    res = spark.table("sgs_append_wm")
+    emitted = dd.quantiles_from_bins(
+        res.select(F.col("window.start").alias("w"), "g", "sign", "bucket", "count"),
+        ["w", "g"], [0.5], CFG,
+    ).toPandas().set_index(["w", "g"])["est"]
+    windows_emitted = {w for w, _ in emitted.index}
+    pdf2 = pdf.copy()
+    pdf2["w"] = pdf2["ts"].dt.floor("20min")
+    all_windows = set(pdf2["w"].unique())
+    # some windows finalized, the tail (inside the watermark) withheld
+    assert windows_emitted, "append mode emitted nothing"
+    assert windows_emitted < all_windows, "watermark tail must be withheld"
+    for (w, g), est in emitted.items():
+        sub = pdf2[(pdf2["w"] == w) & (pdf2["g"] == g)]
+        core = DDSketch.from_values(sub["v"].to_numpy(), config=CFG)
+        assert est == pytest.approx(core.quantile(0.5), abs=1e-6), (w, g)
