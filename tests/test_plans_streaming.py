@@ -2,6 +2,7 @@
 and Structured Streaming sketch aggregation (file source, availableNow)."""
 
 import os
+import time
 
 import numpy as np
 import pandas as pd
@@ -335,6 +336,7 @@ def test_streaming_append_watermark_finalizes_windows(spark, tmp_path):
     d = tmp_path / "ordered"
     for sl in np.array_split(pdf, 4):
         spark.createDataFrame(sl).coalesce(1).write.mode("append").parquet(str(d))
+        time.sleep(0.05)  # distinct mtimes: the file source orders batches by them
     schema = spark.read.parquet(str(d)).schema
     stream = (
         spark.readStream.schema(schema)
