@@ -537,6 +537,16 @@ def q_sessionize_user_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_funnel_signup_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic event funnel per user: signup → click-after-signup →
+    purchase-after-that — one conditional-min aggregation per stage over
+    (user, ts) pairs only (operators/temporal.py::funnel)."""
+    ev = _events_micros(spark, sf_dir)
+    return temporal.funnel(
+        ev, "user_id", "event_type", "tsu", ["signup", "click", "purchase"]
+    ).orderBy("step")
+
+
 def q_asof_signup_next_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FORWARD as-of join: each signup annotated with the user's next
     at-or-after purchase (time-axis negation of the backward union trick)."""
@@ -1540,6 +1550,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_purchase_last_click": q_asof_purchase_last_click,
         "interval_join_session_events": q_interval_join_session_events,
         "asof_signup_next_purchase": q_asof_signup_next_purchase,
+        "funnel_signup_click_purchase": q_funnel_signup_click_purchase,
         "ddsketch_collapsed_bins": q_ddsketch_collapsed_bins,
         "ddsketch_collapsed_highest_bins": q_ddsketch_collapsed_highest_bins,
         "ddsketch_weighted_bins": q_ddsketch_weighted_bins,
@@ -1733,6 +1744,37 @@ SELECT e.event_id, e.user_id, s.first_event AS session_first_event
 FROM sgs_e e
 JOIN sgs_sess s ON s.user_id = e.user_id AND e.tsu BETWEEN s.s_s AND s.s_e
 ORDER BY event_id, session_first_event""",
+        # staged conditional-min funnel, identical arithmetic
+        "funnel_signup_click_purchase": """
+WITH sgs_e AS (
+  SELECT user_id, event_type, cast(epoch_us(ts) AS double) AS tsd FROM events
+),
+sgs_s1 AS (
+  SELECT user_id, min(tsd) AS t1 FROM sgs_e
+  WHERE event_type = 'signup' GROUP BY user_id
+),
+sgs_s2 AS (
+  SELECT e.user_id, min(e.tsd) AS t2, min(s.t1) AS t1
+  FROM sgs_e e JOIN sgs_s1 s ON s.user_id = e.user_id
+  WHERE e.event_type = 'click' AND e.tsd >= s.t1 GROUP BY e.user_id
+),
+sgs_s3 AS (
+  SELECT e.user_id, min(e.tsd) AS t3
+  FROM sgs_e e JOIN sgs_s2 s ON s.user_id = e.user_id
+  WHERE e.event_type = 'purchase' AND e.tsd >= s.t2 GROUP BY e.user_id
+),
+sgs_n AS (
+  SELECT (SELECT count(*) FROM sgs_s1) AS n1,
+         (SELECT count(*) FROM sgs_s2) AS n2,
+         (SELECT count(*) FROM sgs_s3) AS n3
+)
+SELECT 1 AS step, 'signup' AS step_name, n1 AS users,
+       round(n1 / cast(n1 AS double), 6) AS conversion FROM sgs_n
+UNION ALL
+SELECT 2, 'click', n2, round(n2 / cast(n1 AS double), 6) FROM sgs_n
+UNION ALL
+SELECT 3, 'purchase', n3, round(n3 / cast(n1 AS double), 6) FROM sgs_n
+ORDER BY step""",
         # forward = backward on the negated time axis (o_ts = -tsu)
         "asof_signup_next_purchase": """
 WITH sgs_e AS (

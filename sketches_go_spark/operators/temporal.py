@@ -53,6 +53,57 @@ def sessionize(
     )
 
 
+def funnel(
+    df: DataFrame,
+    key_col: str,
+    type_col: str,
+    ts_col: str,
+    steps: Sequence[str],
+    within: float | None = None,
+) -> DataFrame:
+    """(step:int, step_name, users:bigint, conversion:double): classic funnel
+    — an entity converts step i when its earliest step-i event AT OR AFTER
+    its step-(i-1) conversion time exists (optionally within ``within`` time
+    units of the FIRST step's time).  conversion = users_i / users_1
+    (rounded to 6; step 1 conversion is 1.0 by construction).
+
+    Relational formulation: one conditional-min aggregation per step, each
+    keyed on the entity — a chain of len(steps) shuffles over per-entity
+    relations that only ever carry (key, ts) pairs, never payloads.  At
+    scale co-partition the event table by the entity key (plans/layout.py)
+    and every stage join is exchange-free."""
+    if len(steps) < 2:
+        raise ValueError("funnel needs at least 2 steps")
+    cur = (
+        df.where(F.col(type_col) == steps[0])
+        .groupBy(key_col)
+        .agg(F.min(F.col(ts_col).cast("double")).alias("t1"))
+    )
+    counts = [cur.count()]
+    prev_t = "t1"
+    for i, s in enumerate(steps[1:], start=2):
+        ev = df.where(F.col(type_col) == s).select(
+            key_col, F.col(ts_col).cast("double").alias("_ts")
+        )
+        j = ev.join(cur, key_col).where(F.col("_ts") >= F.col(prev_t))
+        if within is not None:
+            j = j.where(F.col("_ts") <= F.col("t1") + F.lit(float(within)))
+        # keep t1 through every stage: it anchors the within-window filter
+        cur = j.groupBy(key_col).agg(
+            F.min("_ts").alias(f"t{i}"), F.min("t1").alias("t1")
+        )
+        prev_t = f"t{i}"
+        counts.append(cur.count())
+    spark = df.sparkSession
+    rows = [
+        (i + 1, steps[i], counts[i], round(counts[i] / counts[0], 6) if counts[0] else 0.0)
+        for i in range(len(steps))
+    ]
+    return spark.createDataFrame(
+        rows, "step int, step_name string, users bigint, conversion double"
+    )
+
+
 def interval_join(
     points: DataFrame,
     intervals: DataFrame,

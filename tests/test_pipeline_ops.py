@@ -873,3 +873,30 @@ def test_hash_split_entity_alignment_across_tables(spark):
     shared = set(sa) & set(sb)
     assert len(shared) == 1500
     assert all(sa[k] == sb[k] for k in shared)
+
+
+def test_funnel_ordering_and_within(spark):
+    from sketches_go_spark.operators import temporal
+
+    rows = [
+        # u1: full ordered funnel
+        (1, "A", 10), (1, "B", 20), (1, "C", 30),
+        # u2: B BEFORE A -> stops at step 1 (has A, no B after it)
+        (2, "B", 5), (2, "A", 10),
+        # u3: A then B, C missing
+        (3, "A", 10), (3, "B", 15),
+        # u4: ordered but slow: B at t1+100
+        (4, "A", 0), (4, "B", 100), (4, "C", 101),
+    ]
+    df = spark.createDataFrame(rows, "u bigint, t string, ts bigint")
+    out = {r["step"]: (r["users"], r["conversion"]) for r in
+           temporal.funnel(df, "u", "t", "ts", ["A", "B", "C"]).collect()}
+    assert out[1] == (4, 1.0)
+    assert out[2] == (3, 0.75)   # u2 excluded: its B precedes its A
+    assert out[3] == (2, 0.5)
+    # within=50 of the FIRST step: u4's B at +100 drops out
+    outw = {r["step"]: r["users"] for r in
+            temporal.funnel(df, "u", "t", "ts", ["A", "B", "C"], within=50).collect()}
+    assert outw[2] == 2 and outw[3] == 1
+    with pytest.raises(ValueError):
+        temporal.funnel(df, "u", "t", "ts", ["A"])
