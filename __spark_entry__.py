@@ -537,6 +537,23 @@ def q_sessionize_user_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_retention_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention: users bucketed by first-seen week, distinct
+    actives per (cohort, week) — the classic triangle, pure composition of
+    the engine's relational primitives (two aggregations + one join)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id",
+        F.floor(F.unix_date(F.to_date(F.col("ts"))) / 7).alias("week"),
+    )
+    first = ev.groupBy("user_id").agg(F.min("week").alias("cohort"))
+    act = ev.distinct().join(first, "user_id")
+    return (
+        act.groupBy("cohort", "week")
+        .agg(F.countDistinct("user_id").alias("users"))
+        .orderBy("cohort", "week")
+    )
+
+
 def q_funnel_signup_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Classic event funnel per user: signup → click-after-signup →
     purchase-after-that — one conditional-min aggregation per stage over
@@ -1551,6 +1568,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interval_join_session_events": q_interval_join_session_events,
         "asof_signup_next_purchase": q_asof_signup_next_purchase,
         "funnel_signup_click_purchase": q_funnel_signup_click_purchase,
+        "retention_weekly": q_retention_weekly,
         "ddsketch_collapsed_bins": q_ddsketch_collapsed_bins,
         "ddsketch_collapsed_highest_bins": q_ddsketch_collapsed_highest_bins,
         "ddsketch_weighted_bins": q_ddsketch_weighted_bins,
@@ -1744,6 +1762,17 @@ SELECT e.event_id, e.user_id, s.first_event AS session_first_event
 FROM sgs_e e
 JOIN sgs_sess s ON s.user_id = e.user_id AND e.tsu BETWEEN s.s_s AND s.s_e
 ORDER BY event_id, session_first_event""",
+        "retention_weekly": """
+WITH sgs_e AS (
+  SELECT DISTINCT user_id,
+         cast(floor(date_diff('day', DATE '1970-01-01', cast(ts AS date)) / 7.0)
+              AS bigint) AS week
+  FROM events
+),
+sgs_first AS (SELECT user_id, min(week) AS cohort FROM sgs_e GROUP BY user_id)
+SELECT f.cohort, e.week, count(DISTINCT e.user_id) AS users
+FROM sgs_e e JOIN sgs_first f ON f.user_id = e.user_id
+GROUP BY f.cohort, e.week ORDER BY cohort, week""",
         # staged conditional-min funnel, identical arithmetic
         "funnel_signup_click_purchase": """
 WITH sgs_e AS (
