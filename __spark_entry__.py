@@ -879,6 +879,35 @@ def q_kll_latency_by_role(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _rank_bound_check(src, est_long, KLL_EPS)
 
 
+def q_kll_warehouse_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-sketch re-aggregation FROM STORAGE — the reason blobs exist:
+    per-(role, tool) KLL sketches are persisted to a parquet warehouse,
+    read back, and MERGED to per-role without touching raw data; the merged
+    estimates must still satisfy the published rank bound against the exact
+    ranks (same hash-matchable check as kll_latency_by_role)."""
+    import hashlib
+    import shutil
+
+    from sketches_go_spark.core.kll import KLLSketch
+    from sketches_go_spark.functions.sketch_fns import two_phase_merge
+    from sketches_go_spark.sources.io import read_sketches, write_sketches
+
+    t = transcripts_from_events(spark, sf_dir).where(F.col("tool").isNotNull())
+    src_rt = t.select("role", "tool", F.length("text").cast("double").alias("v"))
+    fine = sk.kll_agg(src_rt, "v", ["role", "tool"], k=200)
+    path = "/tmp/sgs_kllwh_v1_" + hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    shutil.rmtree(path, ignore_errors=True)
+    write_sketches(fine, path, partition_by=["role"])
+    merged = two_phase_merge(
+        read_sketches(spark, path), ["role"], KLLSketch.from_bytes
+    )
+    out = sk.with_sketch_quantiles(merged, KLLSketch.from_bytes, list(QS))
+    est_long = out.select(
+        "role", F.expr("stack(3, 0.5D, p50, 0.95D, p95, 0.99D, p99) AS (q, est)")
+    )
+    return _rank_bound_check(src_rt.select("role", "v"), est_long, KLL_EPS)
+
+
 def q_tdigest_latency_by_role(spark: SparkSession, sf_dir: str) -> DataFrame:
     """t-digest of inter-turn latency per role (UDAF path): emits the
     rank-error bound check |rank(est) - q| <= eps per (role, q), verified
@@ -1583,6 +1612,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_cube_range_counts": q_cms_cube_range_counts,
         "bloom_probe_tools": q_bloom_probe_tools,
         "kll_latency_by_role": q_kll_latency_by_role,
+        "kll_warehouse_rollup": q_kll_warehouse_rollup,
         "tdigest_latency_by_role": q_tdigest_latency_by_role,
         "streaming_ddsketch_value_by_event_type": q_streaming_ddsketch,
         "streaming_hll_registers_by_event_type": q_streaming_hll_registers,
@@ -2064,6 +2094,12 @@ JOIN (SELECT DISTINCT date_diff('day', DATE '1970-01-01', cast(ts AS date))
         # against the exact data and emits the boolean; the oracle asserts the
         # published bound holds for every (role, q)
         "kll_latency_by_role": _rank_bound_oracle_sql(),
+        # merged-from-storage estimates must still satisfy the rank bound
+        "kll_warehouse_rollup": f"""
+SELECT role, q, 1 AS within_bound
+FROM (SELECT DISTINCT role FROM {_TRANSCRIPTS} t WHERE tool IS NOT NULL)
+CROSS JOIN (SELECT unnest([{", ".join(f"cast({q} AS double)" for q in QS)}]) AS q)
+ORDER BY role, q""",
         "tdigest_latency_by_role": _rank_bound_oracle_sql(),
         "streaming_ddsketch_value_by_event_type": oracles.ddsketch_quantiles_sql(
             _EVENT_VALUE_MEASURE_SQL, ["event_type"], QS, CFG,
