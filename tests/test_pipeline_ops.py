@@ -900,3 +900,22 @@ def test_funnel_ordering_and_within(spark):
     assert outw[2] == 2 and outw[3] == 1
     with pytest.raises(ValueError):
         temporal.funnel(df, "u", "t", "ts", ["A"])
+
+
+def test_retention_triangle_invariants(spark):
+    """Cohort semantics: activity never precedes the cohort week, and each
+    cohort's week-0 row counts exactly its members (everyone is active in
+    their first week by definition)."""
+    import __spark_entry__ as e
+
+    rows = e.queries()["retention_weekly"](spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    sizes = {}
+    for r in rows:
+        assert r["week"] >= r["cohort"]
+        if r["week"] == r["cohort"]:
+            sizes[r["cohort"]] = r["users"]
+    # every cohort has its week-0 row
+    assert set(sizes) == {r["cohort"] for r in rows}
+    # retention never exceeds the cohort size
+    assert all(r["users"] <= sizes[r["cohort"]] for r in rows)
