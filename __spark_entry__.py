@@ -732,6 +732,32 @@ def q_hll_sliding_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("day_i", "event_type")
 
 
+def q_hll_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU/WAU stickiness per day: daily distinct users over trailing-7-day
+    distinct users, BOTH from the same register cube (one estimate, one
+    max-monoid slide — the classic engagement ratio with cube-only cost)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        F.unix_date(F.to_date(F.col("ts"))).alias("day_i"), "user_id"
+    )
+    cube = sk.hll_registers(ev, "user_id", ["day_i"], p=HLL_P)
+    dau = sk.hll_estimate_from_registers(cube, ["day_i"], p=HLL_P).select(
+        "day_i", F.col("est").alias("dau_est")
+    )
+    slid = sk.hll_sliding_registers(cube, "day_i", ["day_i"], 7)
+    days = cube.select("day_i").distinct()
+    wau = sk.hll_estimate_from_registers(
+        slid.join(F.broadcast(days), "day_i"), ["day_i"], p=HLL_P
+    ).select("day_i", F.col("est").alias("wau_est"))
+    return (
+        dau.join(wau, "day_i")
+        .select(
+            "day_i", "dau_est", "wau_est",
+            F.round(F.col("dau_est") / F.col("wau_est"), 6).alias("stickiness"),
+        )
+        .orderBy("day_i")
+    )
+
+
 def q_kmv_event_type_user_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KMV bottom-k theta sketch: pairwise distinct-user OVERLAP between
     event types (union / intersection / Jaccard estimates) — the set-
@@ -1607,6 +1633,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_cube_range_distinct": q_hll_cube_range_distinct,
         "kmv_event_type_user_overlap": q_kmv_event_type_user_overlap,
         "hll_sliding_distinct": q_hll_sliding_distinct,
+        "hll_stickiness": q_hll_stickiness,
         "cms_tool_counts": q_cms_tool_counts,
         "cms_heavy_hitters": q_cms_heavy_hitters,
         "cms_cube_range_counts": q_cms_cube_range_counts,
@@ -2063,6 +2090,26 @@ JOIN (SELECT DISTINCT date_diff('day', DATE '1970-01-01', cast(ts AS date))
             ["day_i", "event_type"], p=HLL_P,
         )
         + " ORDER BY day_i, event_type",
+        # ratio of the daily estimate to the trailing-slice estimate
+        "hll_stickiness": (
+            "WITH sgs_dau AS ("
+            + oracles.hll_estimate_sql(
+                "SELECT date_diff('day', DATE '1970-01-01', cast(ts AS date)) AS day_i, user_id AS item FROM events",
+                ["day_i"], p=HLL_P,
+            )
+            + "),\nsgs_wau AS ("
+            + oracles.hll_estimate_sql(
+                """SELECT d.day_i, e.user_id AS item
+FROM events e
+JOIN (SELECT DISTINCT date_diff('day', DATE '1970-01-01', cast(ts AS date)) AS day_i FROM events) d
+  ON date_diff('day', DATE '1970-01-01', cast(e.ts AS date)) BETWEEN d.day_i - 6 AND d.day_i""",
+                ["day_i"], p=HLL_P,
+            )
+            + """)
+SELECT a.day_i, a.est AS dau_est, b.est AS wau_est,
+       round(a.est / b.est, 6) AS stickiness
+FROM sgs_dau a JOIN sgs_wau b USING (day_i) ORDER BY day_i"""
+        ),
         "kmv_event_type_user_overlap": oracles.kmv_overlap_sql(
             "SELECT event_type, user_id AS item FROM events",
             "event_type", k=KMV_K,
