@@ -503,7 +503,7 @@ def connected_components(
     def _large_star(df: DataFrame) -> DataFrame:
         # symmetric neighborhood; m = min(Γ(u) ∪ {u}); emit (v, m) for v > u
         sym = df.union(df.select(F.col("v").alias("u"), F.col("u").alias("v")))
-        m = F.least(F.min("v"), F.first("u")).alias("m")
+        m = F.least(F.min("v"), F.min("u")).alias("m")  # u == group key
         mins = sym.groupBy("u").agg(m)
         return (
             sym.join(mins, "u")
