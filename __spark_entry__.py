@@ -851,7 +851,9 @@ SELECT role, v FROM (
 """
 
 
-def _rank_bound_check(src: DataFrame, est_long: DataFrame, eps: float) -> DataFrame:
+def _rank_bound_check(
+    src: DataFrame, est_long: DataFrame, eps: float, key_col: str = "role"
+) -> DataFrame:
     """(role, q, within_bound:int) — 1 iff the sketch estimate's exact rank
     interval [P(v < est), P(v <= est)] intersects [q - eps, q + eps].
 
@@ -859,8 +861,8 @@ def _rank_bound_check(src: DataFrame, est_long: DataFrame, eps: float) -> DataFr
     expressible) into a hash-matchable driver check: Spark computes the
     estimate AND verifies its exact rank against the raw data; the oracle
     asserts the published error bound holds (constant 1 per (role, q))."""
-    j = src.join(F.broadcast(est_long), "role")
-    agg = j.groupBy("role", "q").agg(
+    j = src.join(F.broadcast(est_long), key_col)
+    agg = j.groupBy(key_col, "q").agg(
         F.sum(F.when(F.col("v") < F.col("est"), 1).otherwise(0)).alias("cnt_lt"),
         F.sum(F.when(F.col("v") <= F.col("est"), 1).otherwise(0)).alias("cnt_le"),
         F.count(F.lit(1)).alias("n"),
@@ -869,8 +871,8 @@ def _rank_bound_check(src: DataFrame, est_long: DataFrame, eps: float) -> DataFr
         F.col("cnt_lt") <= (F.col("q") + F.lit(eps)) * F.col("n")
     ) & (F.col("cnt_le") >= (F.col("q") - F.lit(eps)) * F.col("n"))
     return agg.select(
-        "role", "q", within.cast("int").alias("within_bound")
-    ).orderBy("role", "q")
+        key_col, "q", within.cast("int").alias("within_bound")
+    ).orderBy(key_col, "q")
 
 
 def _rank_bound_oracle_sql() -> str:
@@ -1058,6 +1060,49 @@ def q_streaming_stateful_ddsketch(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("event_type")
     )
+
+
+def q_streaming_kll_by_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming KLL state (axis B): the generic blob-state operator keeps
+    one KLL rank sketch per event_type in the state store — rank sketches
+    have no relational streaming form, so this IS their streaming path.
+    KLL is order-sensitive, so the check is the published rank bound
+    against exact ranks (the same hash-matchable design as the batch KLL
+    query), applied to the final emission per key."""
+    from sketches_go_spark.core.kll import KLLSketch
+    from sketches_go_spark.streaming.stream_agg import stateful_blob_stream
+
+    stream = _staged_events_stream(spark, sf_dir)
+    src = stream.select("event_type", F.col("value").cast("double").alias("v"))
+    out = stateful_blob_stream(
+        src, "v", ["event_type"],
+        make=lambda: KLLSketch(k=200), decode_fn=KLLSketch.from_bytes,
+        quantiles=QS,
+    )
+    _STREAM_COUNTER[0] += 1
+    name = f"sgs_stream_kll_{_STREAM_COUNTER[0]}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    w = Window.partitionBy("event_type").orderBy(F.col("n").desc())
+    final = (
+        spark.table(name)
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+    )
+    est_long = final.select(
+        "event_type",
+        F.expr("stack(3, 0.5D, p50, 0.95D, p95, 0.99D, p99) AS (q, est)"),
+    )
+    batch_src = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_type", F.col("value").cast("double").alias("v")
+    )
+    return _rank_bound_check(batch_src, est_long, KLL_EPS, key_col="event_type")
 
 
 def q_streaming_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1646,6 +1691,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_stateful_ddsketch_by_event_type": q_streaming_stateful_ddsketch,
         "streaming_cms_counters_by_event_type": q_streaming_cms_counters,
         "streaming_session_stats": q_streaming_session_stats,
+        "streaming_kll_by_event_type": q_streaming_kll_by_event_type,
         "streaming_hll_sliding_distinct": q_streaming_hll_sliding_distinct,
         "rel_agg_lineitem": q_rel_agg_lineitem,
         "sketch_after_join": q_sketch_after_join,
@@ -2167,6 +2213,11 @@ ORDER BY role, q""",
             ["event_type"], depth=4, width=512,
         )
         + " ORDER BY event_type, row, col",
+        "streaming_kll_by_event_type": """
+SELECT event_type, q, 1 AS within_bound
+FROM (SELECT DISTINCT event_type FROM events)
+CROSS JOIN (SELECT unnest([cast(0.5 AS double), cast(0.95 AS double), cast(0.99 AS double)]) AS q)
+ORDER BY event_type, q""",
         # session_window split rule is strictly-greater (verified in pytest)
         "streaming_session_stats": f"""
 WITH sgs_e AS (

@@ -21,6 +21,7 @@ from __future__ import annotations
 
 from typing import Iterable, Sequence, Tuple
 
+import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame
@@ -101,6 +102,58 @@ def foreach_batch_quantiles(
 
 
 # ---------------------------------------------------------------- stateful
+def stateful_blob_stream(
+    stream: DataFrame,
+    value_col: str,
+    keys: Sequence[str],
+    make,
+    decode_fn,
+    quantiles: Sequence[float] = (0.5, 0.95, 0.99),
+):
+    """Generic sketch-as-state streaming operator: any sketch object exposing
+    ``add(ndarray)`` / ``quantiles(list)`` / ``to_bytes()`` and an ``n`` or
+    ``count`` size attribute (KLL, t-digest — the rank sketches whose state
+    is genuinely non-relational, so this applyInPandasWithState path is
+    their ONLY streaming form) is kept encoded in the state store, one blob
+    per group, and per-group quantiles re-emit after every micro-batch.
+    ``make()`` builds an empty sketch; ``decode_fn(bytes)`` revives one."""
+    qs = [float(q) for q in quantiles]
+    key_fields = [stream.schema[k] for k in keys]
+    out_fields = list(key_fields) + [StructField("n", DoubleType())]
+    for q in qs:
+        pct = q * 100
+        name = f"p{int(pct)}" if float(pct).is_integer() else f"p{pct}".replace(".", "_")
+        out_fields.append(StructField(name, DoubleType()))
+    out_schema = StructType(out_fields)
+    state_schema = StructType([StructField("blob", BinaryType())])
+
+    def update(key, pdfs, state: GroupState):
+        if state.exists:
+            (blob,) = state.get
+            sk = decode_fn(bytes(blob))
+        else:
+            sk = make()
+        for pdf in pdfs:
+            v = pdf[value_col].to_numpy(dtype="float64", na_value=float("nan"))
+            v = v[~np.isnan(v)]
+            if v.size:
+                sk.add(v)
+        state.update((sk.to_bytes(),))
+        n = getattr(sk, "n", None)
+        if n is None:
+            n = sk.count
+        row = list(key) + [float(n)] + [float(x) for x in sk.quantiles(qs)]
+        yield pd.DataFrame([row], columns=[f.name for f in out_fields])
+
+    return stream.groupBy(*keys).applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def stateful_sketch_stream(
     stream: DataFrame,
     value_col: str,
