@@ -372,3 +372,46 @@ def test_streaming_append_watermark_finalizes_windows(spark, tmp_path):
         sub = pdf2[(pdf2["w"] == w) & (pdf2["g"] == g)]
         core = DDSketch.from_values(sub["v"].to_numpy(), config=CFG)
         assert est == pytest.approx(core.quantile(0.5), abs=1e-6), (w, g)
+
+
+def test_stateful_blob_stream_tdigest(spark, stream_dir):
+    """The generic blob-state operator with a second sketch type: t-digest
+    per group in the state store; final emission quantiles track the batch
+    t-digest of the same data within the published tail accuracy."""
+    from pyspark.sql.window import Window
+
+    from sketches_go_spark.core.tdigest import TDigest
+    from sketches_go_spark.streaming.stream_agg import stateful_blob_stream
+
+    d, pdf = stream_dir
+    schema = spark.read.parquet(str(d / "data")).schema
+    stream = spark.readStream.schema(schema).parquet(str(d / "data"))
+    out = stateful_blob_stream(
+        stream.select("g", "v"), "v", ["g"],
+        make=lambda: TDigest(delta=200.0), decode_fn=TDigest.from_bytes,
+        quantiles=(0.5, 0.99),
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sgs_blob_td")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(d / "ckpt_td"))
+        .start()
+    )
+    q.awaitTermination(120)
+    w = Window.partitionBy("g").orderBy(F.col("n").desc())
+    final = (
+        spark.table("sgs_blob_td")
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .collect()
+    )
+    got = {r["g"]: r for r in final}
+    for g, sub in pdf.groupby("g"):
+        vals = sub["v"].to_numpy()
+        assert got[g]["n"] == pytest.approx(float(len(vals)))
+        for qq, col in ((0.5, "p50"), (0.99, "p99")):
+            exact = np.quantile(vals, qq)
+            # t-digest mid/tail accuracy: generous 5% relative envelope
+            assert abs(got[g][col] - exact) / max(exact, 1e-9) < 0.05, (g, col)
