@@ -352,13 +352,21 @@ def q_source_csv_textlen_by_role(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle as the parquet-path query IS the per-turn text-equality claim."""
     import hashlib
     import os
+    import shutil
 
     from sketches_go_spark.sources.io import read_transcripts, write_transcripts
 
     t = transcripts_from_events(spark, sf_dir)
     stage = "/tmp/sgs_csv_src_v1_" + hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    if not os.path.exists(stage):
-        write_transcripts(t, stage, fmt="csv")
+    # reuse only a COMPLETE stage (Spark's _SUCCESS marker); a partial dir
+    # from a crashed writer is rebuilt via write-to-temp + atomic rename so
+    # truncated data can never feed the correctness gate
+    if not os.path.exists(os.path.join(stage, "_SUCCESS")):
+        tmp = f"{stage}.tmp-{os.getpid()}"
+        shutil.rmtree(tmp, ignore_errors=True)
+        write_transcripts(t, tmp, fmt="csv")
+        shutil.rmtree(stage, ignore_errors=True)
+        os.replace(tmp, stage)
     back = read_transcripts(spark, stage, fmt="csv")
     src = back.select("role", F.length("text").cast("double").alias("v"))
     return dd.ddsketch_quantiles_relational(
@@ -1641,7 +1649,40 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # Ordering is deliberate: the driver's correctness gate verifies the FIRST
+    # 50 entries. Queries without a CORRECTNESS_r03 row (never-driver-verified
+    # or modified in round 3) come first; long-stable r03-green queries last.
     return {
+        "streaming_hll_sliding_distinct": q_streaming_hll_sliding_distinct,
+        "text_token_counts": q_text_token_counts,
+        "text_winnow_fingerprints": q_text_winnow_fingerprints,
+        "text_winnow_containment": q_text_winnow_containment,
+        "dedup_components": q_dedup_components,
+        "embedding_components": q_embedding_components,
+        "sample_split_documents": q_sample_split_documents,
+        "sample_stratified_by_lang": q_sample_stratified_by_lang,
+        "kmeans_assign_embeddings": q_kmeans_assign_embeddings,
+        "multimodal_audio_features": q_multimodal_audio_features,
+        "multimodal_image_resize": q_multimodal_image_resize,
+        "sim_ann_lsh": q_sim_ann_lsh,
+        "sim_ivf_topk": q_sim_ivf_topk,
+        "rel_agg_lineitem": q_rel_agg_lineitem,
+        "sketch_after_join": q_sketch_after_join,
+        "ddsketch_rollup": q_ddsketch_rollup,
+        "ddsketch_reweight": q_ddsketch_reweight,
+        "ddsketch_change_mapping": q_ddsketch_change_mapping,
+        "text_quality": q_text_quality,
+        "text_langid": q_text_langid,
+        "dedup_exact": q_dedup_exact,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_simhash": q_dedup_simhash,
+        "dedup_simhash_pairs": q_dedup_simhash_pairs,
+        "dedup_simhash_pairs_global": q_dedup_simhash_pairs_global,
+        "sim_topk_bruteforce": q_sim_topk_bruteforce,
+        "embedding_neardup": q_embedding_neardup,
+        "multimodal_frame_grid": q_multimodal_frame_grid,
+        "multimodal_image_features": q_multimodal_image_features,
         "ddsketch_quantiles_value_by_event_type": q_ddsketch_quantiles_value_by_event_type,
         "ddsketch_linear_quantiles_by_event_type": q_ddsketch_linear_quantiles,
         "ddsketch_cubic_quantiles_by_event_type": q_ddsketch_cubic_quantiles,
@@ -1692,36 +1733,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_cms_counters_by_event_type": q_streaming_cms_counters,
         "streaming_session_stats": q_streaming_session_stats,
         "streaming_kll_by_event_type": q_streaming_kll_by_event_type,
-        "streaming_hll_sliding_distinct": q_streaming_hll_sliding_distinct,
-        "rel_agg_lineitem": q_rel_agg_lineitem,
-        "sketch_after_join": q_sketch_after_join,
-        "ddsketch_rollup": q_ddsketch_rollup,
-        "ddsketch_reweight": q_ddsketch_reweight,
-        "ddsketch_change_mapping": q_ddsketch_change_mapping,
-        "text_quality": q_text_quality,
-        "text_langid": q_text_langid,
-        "text_token_counts": q_text_token_counts,
-        "text_winnow_fingerprints": q_text_winnow_fingerprints,
-        "dedup_exact": q_dedup_exact,
-        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
-        "dedup_minhash_lsh": q_dedup_minhash_lsh,
-        "dedup_simhash": q_dedup_simhash,
-        "dedup_simhash_pairs": q_dedup_simhash_pairs,
-        "dedup_simhash_pairs_global": q_dedup_simhash_pairs_global,
-        "dedup_components": q_dedup_components,
-        "text_winnow_containment": q_text_winnow_containment,
-        "sample_split_documents": q_sample_split_documents,
-        "sample_stratified_by_lang": q_sample_stratified_by_lang,
-        "kmeans_assign_embeddings": q_kmeans_assign_embeddings,
-        "sim_topk_bruteforce": q_sim_topk_bruteforce,
-        "sim_ann_lsh": q_sim_ann_lsh,
-        "sim_ivf_topk": q_sim_ivf_topk,
-        "embedding_neardup": q_embedding_neardup,
-        "embedding_components": q_embedding_components,
-        "multimodal_frame_grid": q_multimodal_frame_grid,
-        "multimodal_image_features": q_multimodal_image_features,
-        "multimodal_audio_features": q_multimodal_audio_features,
-        "multimodal_image_resize": q_multimodal_image_resize,
     }
 
 
@@ -1901,11 +1912,16 @@ sgs_n AS (
          (SELECT count(*) FROM sgs_s3) AS n3
 )
 SELECT 1 AS step, 'signup' AS step_name, n1 AS users,
-       round(n1 / cast(n1 AS double), 6) AS conversion FROM sgs_n
+       CASE WHEN n1 = 0 THEN 0.0
+            ELSE round(n1 / cast(n1 AS double), 6) END AS conversion FROM sgs_n
 UNION ALL
-SELECT 2, 'click', n2, round(n2 / cast(n1 AS double), 6) FROM sgs_n
+SELECT 2, 'click', n2,
+       CASE WHEN n1 = 0 THEN 0.0
+            ELSE round(n2 / cast(n1 AS double), 6) END FROM sgs_n
 UNION ALL
-SELECT 3, 'purchase', n3, round(n3 / cast(n1 AS double), 6) FROM sgs_n
+SELECT 3, 'purchase', n3,
+       CASE WHEN n1 = 0 THEN 0.0
+            ELSE round(n3 / cast(n1 AS double), 6) END FROM sgs_n
 ORDER BY step""",
         # forward = backward on the negated time axis (o_ts = -tsu)
         "asof_signup_next_purchase": """

@@ -263,10 +263,12 @@ def simhash(
 
     Default 60 bits: the full entropy of the portable 60-bit hash, so
     pigeonhole segments stay fine-grained at corpus scale (a 16-bit default
-    was the round-2 toy-sizing finding).  1 <= bits <= 63 (the fingerprint
-    accumulates into a non-negative bigint)."""
-    if not (1 <= bits <= 63):
-        raise ValueError("bits must be in [1, 63]")
+    was the round-2 toy-sizing finding).  1 <= bits <= 60: both hash
+    families (portable_hash64 and xxhash64_fn's 60-bit projection) yield 60
+    bits of entropy, so bits above 60 would be constant zero and silently
+    degrade pigeonhole blocking."""
+    if not (1 <= bits <= 60):
+        raise ValueError("bits must be in [1, 60] (hash families yield 60 bits)")
     words = F.split(F.lower(F.trim(_col(text_col))), " ")
     toks = df.select(_col(id_col).alias(id_col), F.explode(words).alias("tok"))
     # materialize the hash ONCE per token: each vote expression would

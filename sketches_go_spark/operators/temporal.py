@@ -67,33 +67,49 @@ def funnel(
     units of the FIRST step's time).  conversion = users_i / users_1
     (rounded to 6; step 1 conversion is 1.0 by construction).
 
-    Relational formulation: one conditional-min aggregation per step, each
-    keyed on the entity — a chain of len(steps) shuffles over per-entity
-    relations that only ever carry (key, ts) pairs, never payloads.  At
-    scale co-partition the event table by the entity key (plans/layout.py)
-    and every stage join is exchange-free."""
+    Single-job formulation: ONE aggregation per entity collects each step's
+    timestamps (events of other types are dropped before the shuffle), the
+    chained stage times t1..tk are then pure column expressions —
+    ``t_i = array_min(filter(ts_i, x -> x >= t_{i-1}))`` — and a final
+    global aggregation counts non-null t_i per step.  One shuffle on the
+    entity key, one tiny all-to-one exchange, one Spark job (the previous
+    formulation ran len(steps)+1 serial ``count()`` jobs).  Per-entity
+    state is the entity's own step-event timestamps only — bounded by
+    events per entity, never by table size."""
     if len(steps) < 2:
         raise ValueError("funnel needs at least 2 steps")
-    cur = (
-        df.where(F.col(type_col) == steps[0])
+    ts_d = F.col(ts_col).cast("double")
+    per_entity = (
+        df.where(F.col(type_col).isin(list(steps)))
         .groupBy(key_col)
-        .agg(F.min(F.col(ts_col).cast("double")).alias("t1"))
+        .agg(
+            *[
+                F.collect_list(F.when(F.col(type_col) == s, ts_d)).alias(f"_a{i}")
+                for i, s in enumerate(steps, start=1)
+            ]
+        )
     )
-    counts = [cur.count()]
-    prev_t = "t1"
-    for i, s in enumerate(steps[1:], start=2):
-        ev = df.where(F.col(type_col) == s).select(
-            key_col, F.col(ts_col).cast("double").alias("_ts")
+    # chained conditional minima: a NULL t_{i-1} makes the lambda predicate
+    # NULL for every element -> empty filter -> NULL t_i (non-conversion
+    # cascades without special-casing)
+    # the lambda must take exactly ONE parameter: F.filter inspects arity
+    # and would feed the array INDEX to any second parameter
+    def _stage_pred(prev, hi):
+        if hi is None:
+            return lambda x: x >= prev
+        return lambda x: (x >= prev) & (x <= hi)
+
+    per_entity = per_entity.withColumn("t1", F.array_min("_a1"))
+    hi = None if within is None else F.col("t1") + F.lit(float(within))
+    for i in range(2, len(steps) + 1):
+        pred = _stage_pred(F.col(f"t{i - 1}"), hi)
+        per_entity = per_entity.withColumn(
+            f"t{i}", F.array_min(F.filter(f"_a{i}", pred))
         )
-        j = ev.join(cur, key_col).where(F.col("_ts") >= F.col(prev_t))
-        if within is not None:
-            j = j.where(F.col("_ts") <= F.col("t1") + F.lit(float(within)))
-        # keep t1 through every stage: it anchors the within-window filter
-        cur = j.groupBy(key_col).agg(
-            F.min("_ts").alias(f"t{i}"), F.min("t1").alias("t1")
-        )
-        prev_t = f"t{i}"
-        counts.append(cur.count())
+    totals = per_entity.agg(
+        *[F.count(f"t{i}").alias(f"n{i}") for i in range(1, len(steps) + 1)]
+    ).collect()[0]
+    counts = [int(totals[f"n{i}"]) for i in range(1, len(steps) + 1)]
     spark = df.sparkSession
     rows = [
         (i + 1, steps[i], counts[i], round(counts[i] / counts[0], 6) if counts[0] else 0.0)
@@ -132,6 +148,11 @@ def interval_join(
         raise ValueError("how must be 'inner' or 'left'")
     if bucket_width <= 0:
         raise ValueError("bucket_width must be positive")
+    if "_pb" in points.columns:
+        raise ValueError(
+            "points must not carry a column named '_pb' (reserved for the "
+            "internal bucket index; rename it before calling interval_join)"
+        )
     w = F.lit(int(bucket_width))
     pt = points.withColumn("_pb", F.floor(F.col(ts_col).cast("bigint") / w))
     iv = intervals.select(
