@@ -298,6 +298,13 @@ def main() -> None:
         "sessionize_user_events",
         "asof_purchase_last_click",
         "ddsketch_sliding_quantiles",
+        # round 4: zero-shuffle winnowing family (prove the per-doc
+        # higher-order-function build holds at sf0.1), the min_by kmeans
+        # assignment, and the single-job funnel
+        "text_winnow_fingerprints",
+        "text_winnow_containment",
+        "kmeans_assign_embeddings",
+        "funnel_signup_click_purchase",
     ):
         best, steal = timed(lambda: qfns[name](spark, SF_DIR), 2)
         pipeline_timings[name] = round(best, 3)

@@ -58,6 +58,45 @@ def test_index_monotone_and_value_in_bucket(cls):
     assert np.array_equal(m.index(m.value(uniq)), uniq)
 
 
+# reference sweep range (mapping/index_mapping_test.go:118-136): alpha from
+# 1e-7 up to 1 - 1e-3, every mapping family, serialized and deserialized
+SERDE_ALPHAS = [1e-7, 1e-6, 1e-5, 1e-4, 1e-3, 1e-2, 1e-1, 0.25, 1 - 1e-3]
+INTERPOLATIONS = ["logarithmic", "linear", "cubic"]
+
+
+@pytest.mark.parametrize("interpolation", INTERPOLATIONS)
+@pytest.mark.parametrize("alpha", SERDE_ALPHAS)
+def test_mapping_survives_both_codecs(interpolation, alpha):
+    """Mapping serde equality sweep, through BOTH wire formats (the custom
+    flag-grammar codec and protobuf): decode(encode(sketch)) must carry a
+    mapping `equals` to the original — gamma and index_offset are stored as
+    exact float64 in both codecs, so this holds across the reference's full
+    alpha range for every interpolation family
+    (mapping/index_mapping_test.go:118-136)."""
+    from sketches_go_spark.core import encoding as enc
+    from sketches_go_spark.core import protobuf as pb
+    from sketches_go_spark.core.ddsketch import DDSketch, DDSketchConfig
+
+    cfg = DDSketchConfig(alpha=alpha, interpolation=interpolation)
+    s = DDSketch(cfg)
+    for v in (1e-3, 1.0, 3.14, 1e6):
+        s.add(v)
+    m = s.mapping
+
+    s_custom = enc.decode_sketch(enc.encode_sketch(s))
+    assert s_custom.mapping.equals(m)
+    assert s_custom.mapping.interpolation == interpolation
+
+    s_proto = pb.decode_proto(pb.encode_proto(s))
+    assert s_proto.mapping.equals(m)
+    assert s_proto.mapping.interpolation == interpolation
+
+    # and the decoded sketches answer quantiles identically to the original
+    for q in (0.0, 0.5, 0.99, 1.0):
+        assert s_custom.quantile(q) == s.quantile(q)
+        assert s_proto.quantile(q) == s.quantile(q)
+
+
 def test_min_max_indexable_bounds():
     for cls in MAPPING_CLASSES:
         m = cls.from_relative_accuracy(0.01)
