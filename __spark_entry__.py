@@ -27,6 +27,7 @@ from sketches_go_spark.functions import sketch_fns as sk
 from sketches_go_spark.operators import dedup
 from sketches_go_spark.operators import multimodal as mm
 from sketches_go_spark.operators import oracles_pipeline as opl
+from sketches_go_spark.operators import packing
 from sketches_go_spark.operators import sampling
 from sketches_go_spark.operators import similarity as sim
 from sketches_go_spark.operators import temporal
@@ -144,6 +145,33 @@ def q_ddsketch_bins_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bins.select(
         "role", "sign", "bucket", F.col("count").alias("cnt")
     ).orderBy("role", "sign", "bucket")
+
+
+_CDF_THRESHOLDS = (1, 10, 100)
+
+
+def q_ddsketch_cdf_by_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverse-quantile (CDF / rank) estimates from the bins relation: the
+    estimated fraction of values <= t is the mass of buckets whose index is
+    <= index(t), plus all negative/zero mass.  Derived purely from the same
+    sum-monoid bins every quantile query maintains — no new state, one
+    aggregation; the thresholds' bucket indexes are computed once driver-side
+    from the mapping (the complement of KeyAtRank, ddsketch.go:436-469)."""
+    bins = dd.build_bins(_events_value(spark, sf_dir), "v", ["event_type"], CFG)
+    m = CFG.mapping()
+    total = F.sum("count")
+    aggs = []
+    for t in _CDF_THRESHOLDS:
+        it = int(m.index_scalar(float(t)))
+        mass = F.sum(
+            F.when(
+                (F.col("sign") < 1)
+                | ((F.col("sign") == 1) & (F.col("bucket") <= F.lit(it))),
+                F.col("count"),
+            ).otherwise(F.lit(0.0))
+        )
+        aggs.append(F.round(mass / total, 6).alias(f"frac_le_{t}"))
+    return bins.groupBy("event_type").agg(*aggs).orderBy("event_type")
 
 
 def q_ddsketch_summary_by_role(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1197,6 +1225,44 @@ def q_streaming_hll_sliding_distinct(spark: SparkSession, sf_dir: str) -> DataFr
     ).orderBy("day_i", "event_type")
 
 
+def q_streaming_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup (axis B): documents arrive as a file stream;
+    the canonical-per-fingerprint relation is maintained as a streaming
+    aggregation — min(doc_id) and count(*) are order-free monoids, so the
+    availableNow result equals the batch replay exactly.  At scale the
+    state store holds one row per distinct fingerprint (the content hash),
+    the minimal possible dedup state."""
+    import hashlib
+    import os
+    import shutil
+
+    src_file = f"{sf_dir}/documents.parquet"
+    stage = "/tmp/sgs_stream_docs_" + hashlib.md5(src_file.encode()).hexdigest()[:8]
+    if not os.path.exists(os.path.join(stage, "documents.parquet")):
+        os.makedirs(stage, exist_ok=True)
+        shutil.copy(src_file, os.path.join(stage, "documents.parquet"))
+    schema = spark.read.parquet(src_file).schema
+    stream = spark.readStream.schema(schema).parquet(stage)
+    fp = stream.select(
+        ops_text.doc_fingerprint(F.col("text")).alias("fingerprint"), "doc_id"
+    )
+    agg = fp.groupBy("fingerprint").agg(
+        F.min("doc_id").alias("canonical_id"),
+        F.count(F.lit(1)).alias("n_copies"),
+    )
+    _STREAM_COUNTER[0] += 1
+    name = f"sgs_stream_dedup_{_STREAM_COUNTER[0]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name).orderBy("fingerprint")
+
+
 def q_streaming_cms_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming count-min counter relation (axis B): (event_type, row, col,
     cnt) is a SUM-monoid maintained natively by the state store; the
@@ -1307,6 +1373,58 @@ def q_text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         ops_text.token_count(F.col("text")).alias("ws_tokens"),
         ops_text.bpe_token_count(F.col("text")).alias("bpe_tokens"),
     ).orderBy("doc_id")
+
+
+def _docs_with_planted_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The synthetic corpus carries no PII, so plant one deterministic
+    e-mail / phone / IPv4 per document (same construction in the oracle) —
+    the redaction query then proves each pattern fires and the scrub
+    round-trips byte-for-byte cross-engine."""
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" mail user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com call +1 555 01"),
+            F.col("doc_id").cast("string"),
+            F.lit(" from 10.0.0."),
+            F.pmod("doc_id", F.lit(255)).cast("string"),
+        ).alias("text"),
+    )
+
+
+def q_text_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing (operators/text.py::redact): ordered regexp stages for
+    e-mail / +phone / IPv4 with per-kind replacement counts — pure Catalyst,
+    zero shuffles, Java-regex/RE2-portable patterns."""
+    out = ops_text.redact(_docs_with_planted_pii(spark, sf_dir))
+    return out.select(
+        "doc_id", "n_email", "n_phone", "n_ipv4", "text_redacted"
+    ).orderBy("doc_id")
+
+
+def q_text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document (operators/text.py::tfidf_top_terms):
+    corpus keyword extraction with rounded-score ordering so the ranking is
+    bit-reproducible cross-engine."""
+    return ops_text.tfidf_top_terms(_docs(spark, sf_dir), k=3).orderBy(
+        "doc_id", "rank"
+    )
+
+
+def q_pack_sequences_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-then-chunk sequence packing (operators/packing.py): documents
+    laid end-to-end into capacity-256 token windows across 8 hash shards —
+    the LM-pretraining data-loader layout, deterministic under any
+    partitioning."""
+    toks = _docs(spark, sf_dir).select(
+        "doc_id", ops_text.token_count(F.col("text")).alias("n_tokens")
+    )
+    return packing.pack_sequences(
+        toks, capacity=256, n_shards=8
+    ).orderBy("doc_id", "pack_id")
 
 
 def q_text_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1683,6 +1801,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup": q_embedding_neardup,
         "multimodal_frame_grid": q_multimodal_frame_grid,
         "multimodal_image_features": q_multimodal_image_features,
+        # new in round 4 (also inside the first-50 verification window)
+        "text_redact_pii": q_text_redact_pii,
+        "text_tfidf_top_terms": q_text_tfidf_top_terms,
+        "pack_sequences_documents": q_pack_sequences_documents,
+        "ddsketch_cdf_by_event_type": q_ddsketch_cdf_by_event_type,
+        "streaming_dedup_exact": q_streaming_dedup_exact,
         "ddsketch_quantiles_value_by_event_type": q_ddsketch_quantiles_value_by_event_type,
         "ddsketch_linear_quantiles_by_event_type": q_ddsketch_linear_quantiles,
         "ddsketch_cubic_quantiles_by_event_type": q_ddsketch_cubic_quantiles,
@@ -1734,6 +1858,42 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_session_stats": q_streaming_session_stats,
         "streaming_kll_by_event_type": q_streaming_kll_by_event_type,
     }
+
+
+def _redact_pii_oracle_sql() -> str:
+    """Planted-PII construction identical to _docs_with_planted_pii, then
+    the redact_sql twins (counts on the progressively redacted text)."""
+    cols = ops_text.redact_sql("text2")
+    planted = (
+        "SELECT doc_id, concat(text, ' mail user', cast(doc_id AS string),"
+        " '@example.com call +1 555 01', cast(doc_id AS string),"
+        " ' from 10.0.0.', cast(doc_id % 255 AS string)) AS text2"
+        " FROM documents"
+    )
+    sel = ", ".join(
+        f"{expr} AS {name}" for name, expr in cols.items()
+    )
+    return f"SELECT doc_id, {sel} FROM ({planted}) ORDER BY doc_id"
+
+
+def _cdf_oracle_sql() -> str:
+    """Replay of q_ddsketch_cdf_by_event_type from the sgs_bins CTE with the
+    same driver-side threshold bucket indexes."""
+    m = CFG.mapping()
+    fracs = []
+    for t in _CDF_THRESHOLDS:
+        it = int(m.index_scalar(float(t)))
+        fracs.append(
+            f"round(sum(CASE WHEN sign < 1 OR (sign = 1 AND bucket <= {it})"
+            f" THEN count ELSE 0.0 END) / sum(count), 6) AS frac_le_{t}"
+        )
+    return (
+        "WITH "
+        + oracles.ddsketch_bins_sql(_EVENT_VALUE_MEASURE_SQL, ["event_type"], CFG)
+        + "\nSELECT event_type, "
+        + ", ".join(fracs)
+        + " FROM sgs_bins GROUP BY event_type ORDER BY event_type"
+    )
 
 
 def oracle_sql() -> dict[str, str]:
@@ -2293,6 +2453,28 @@ ORDER BY l_returnflag, l_linestatus""",
         ),
         "text_winnow_fingerprints": ops_text.winnow_fingerprints_sql(k=8, w=16)
         + " ORDER BY doc_id, fp",
+        "text_redact_pii": _redact_pii_oracle_sql(),
+        "text_tfidf_top_terms": ops_text.tfidf_top_terms_sql("documents", k=3)
+        + " ORDER BY doc_id, rank",
+        "pack_sequences_documents": packing.pack_sequences_sql(
+            "SELECT doc_id, "
+            + ops_text.token_count_sql("text")
+            + " AS nt FROM documents",
+            tokens_expr="nt",
+            capacity=256,
+            n_shards=8,
+        )
+        + " ORDER BY doc_id, pack_id",
+        "ddsketch_cdf_by_event_type": _cdf_oracle_sql(),
+        # streaming state == batch aggregation (min/count are order-free
+        # monoids over the content fingerprint)
+        "streaming_dedup_exact": (
+            "SELECT fingerprint, min(doc_id) AS canonical_id,"
+            " count(*) AS n_copies FROM (SELECT doc_id, "
+            + ops_text.doc_fingerprint_sql("text")
+            + " AS fingerprint FROM documents)"
+            " GROUP BY fingerprint ORDER BY fingerprint"
+        ),
         "dedup_exact": opl.exact_dedup_oracle(),
         "dedup_ngram_jaccard": opl.ngram_jaccard_oracle(threshold=0.5),
         "dedup_minhash_lsh": opl.minhash_lsh_oracle(threshold=0.5),

@@ -385,3 +385,138 @@ def winnow_containment_pairs(
         )
     )
     return out
+
+
+# ------------------------------------------------------------- PII redaction
+# Lookahead-free patterns so Java regex (Spark) and RE2 (DuckDB) agree
+# match-for-match.  Order matters and is part of the contract: emails are
+# replaced first (their domains would otherwise feed the IP pattern), then
+# +-prefixed phone numbers, then bare IPv4s; each count is taken on the text
+# AFTER the previous stage, so counts == replacements actually made.
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z][A-Za-z]+", "[EMAIL]"),
+    ("phone", r"\+[0-9][0-9 ()\-]{6,}[0-9]", "[PHONE]"),
+    ("ipv4", r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}", "[IP]"),
+)
+
+
+def redact(
+    df: DataFrame, text_col: str | Column = "text", out_col: str = "text_redacted"
+) -> DataFrame:
+    """Append ``out_col`` (the PII-scrubbed text) and one ``n_<kind>``
+    replacement-count column per pattern.  Pure Catalyst regexp stages —
+    zero shuffles, runs inside the scan's whole-stage codegen, and the cost
+    at 100 TB is the regex engine alone."""
+    cur = _col(text_col)
+    counts = []
+    for kind, pat, repl in PII_PATTERNS:
+        counts.append(F.regexp_count(cur, F.lit(pat)).cast("int").alias(f"n_{kind}"))
+        cur = F.regexp_replace(cur, pat, repl)
+    return df.select("*", *counts, cur.alias(out_col))
+
+
+def redact_sql(text_expr: str, out_col: str = "text_redacted") -> dict[str, str]:
+    """DuckDB expressions mirroring :func:`redact`, keyed by column name
+    (counts via len(regexp_extract_all); replace with the 'g' flag — DuckDB
+    replaces only the first match by default, Spark replaces all)."""
+    cur = text_expr
+    cols: dict[str, str] = {}
+    for kind, pat, repl in PII_PATTERNS:
+        p = pat.replace("'", "''")
+        cols[f"n_{kind}"] = (
+            f"cast(len(regexp_extract_all({cur}, '{p}')) AS int)"
+        )
+        cur = f"regexp_replace({cur}, '{p}', '{repl}', 'g')"
+    cols[out_col] = cur
+    return cols
+
+
+# ------------------------------------------------------------------- TF-IDF
+def tfidf_top_terms(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    decimals: int = 6,
+) -> DataFrame:
+    """(doc, rank, term, tf, df, score): the top-``k`` terms per document by
+    smoothed TF-IDF — ``score = tf * (ln((N+1)/(df+1)) + 1)`` rounded to
+    ``decimals``, ties broken by term.  The keyword-extraction / quality
+    stage of a corpus pipeline.
+
+    Scale shape: one explode + one (doc, term) groupBy (map-side
+    combinable), one term-keyed df aggregation joined back on term, the
+    corpus size N broadcast from a 1-row aggregate, and the final top-k
+    window partitioned by doc (bounded by per-doc vocabulary, never corpus
+    size).  Ranking compares the ROUNDED score so the ordering is
+    bit-reproducible cross-engine (libm ln may differ in the last ulp)."""
+    from pyspark.sql import Window
+
+    words = F.split(F.lower(F.trim(_col(text_col))), " ")
+    toks = df.select(
+        _col(id_col).alias(id_col), F.explode(words).alias("term")
+    ).where(F.length("term") > 0)
+    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = tf.agg(F.countDistinct(id_col).alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "term")
+        .join(F.broadcast(n_docs), how="cross")
+        .select(
+            id_col,
+            "term",
+            "tf",
+            "df",
+            F.round(
+                F.col("tf")
+                * (
+                    F.log(
+                        (F.col("n_docs") + 1).cast("double")
+                        / (F.col("df") + 1).cast("double")
+                    )
+                    + F.lit(1.0)
+                ),
+                decimals,
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("score").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(id_col, "rank", "term", "tf", "df", "score")
+    )
+
+
+def tfidf_top_terms_sql(
+    src: str = "documents",
+    id_col: str = "doc_id",
+    k: int = 3,
+    decimals: int = 6,
+) -> str:
+    """DuckDB replay of :func:`tfidf_top_terms` (same smoothing, same
+    rounded-score ordering, same tie-break)."""
+    return f"""WITH sgs_tok AS (
+  SELECT {id_col}, unnest(string_split(lower(trim(text)), ' ')) AS term FROM {src}
+),
+sgs_tf AS (
+  SELECT {id_col}, term, count(*) AS tf FROM sgs_tok
+  WHERE length(term) > 0 GROUP BY {id_col}, term
+),
+sgs_df AS (SELECT term, count(*) AS df FROM sgs_tf GROUP BY term),
+sgs_n AS (SELECT count(DISTINCT {id_col}) AS n_docs FROM sgs_tf),
+sgs_scored AS (
+  SELECT t.{id_col}, t.term, t.tf, d.df,
+         round(t.tf * (ln(cast(n.n_docs + 1 AS double)
+                          / cast(d.df + 1 AS double)) + 1.0), {decimals}) AS score
+  FROM sgs_tf t JOIN sgs_df d USING (term) CROSS JOIN sgs_n n
+),
+sgs_ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY {id_col} ORDER BY score DESC, term ASC) AS rank
+  FROM sgs_scored
+)
+SELECT {id_col}, cast(rank AS int) AS rank, term, tf, df, score
+FROM sgs_ranked WHERE rank <= {k}"""

@@ -968,3 +968,139 @@ def test_retention_triangle_invariants(spark):
     assert set(sizes) == {r["cohort"] for r in rows}
     # retention never exceeds the cohort size
     assert all(r["users"] <= sizes[r["cohort"]] for r in rows)
+
+
+# ------------------------------------------------------- round-4 operators
+def test_redact_patterns_and_ordering(spark):
+    """Each PII family is replaced with its token and counted; ordering
+    (email -> phone -> ip) means an IP-shaped domain inside an email is
+    consumed by the email stage, never double-counted."""
+    from sketches_go_spark.operators import text as T
+
+    rows = [
+        (1, "write to a.b-c_d@sub.example.org or +1 (555) 010-9999 now"),
+        (2, "server at 192.168.1.100 and 10.0.0.1"),
+        (3, "no pii here, just 12345 and version 1.2"),
+        (4, "double john@x.co jane@y.io and +44 20 7946 0958"),
+        (5, "edge: user@10.0.0.1.nip.io resolves"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {r["doc_id"]: r for r in T.redact(df).collect()}
+    assert (out[1]["n_email"], out[1]["n_phone"], out[1]["n_ipv4"]) == (1, 1, 0)
+    assert out[2]["n_ipv4"] == 2 and out[2]["n_email"] == 0
+    # "version 1.2" must not look like an IP; bare numbers are not phones
+    assert (out[3]["n_email"], out[3]["n_phone"], out[3]["n_ipv4"]) == (0, 0, 0)
+    assert out[4]["n_email"] == 2 and out[4]["n_phone"] == 1
+    # the ip-shaped domain is inside the email match -> email eats it
+    assert out[5]["n_email"] == 1 and out[5]["n_ipv4"] == 0
+    assert "[EMAIL]" in out[1]["text_redacted"]
+    assert "[PHONE]" in out[1]["text_redacted"]
+    assert "@" not in out[4]["text_redacted"]
+
+
+def test_tfidf_top_terms_exact_and_tiebreak(spark):
+    """Hand-checked tf-idf on a 3-doc corpus: rare terms outrank common
+    ones, and equal scores break ties alphabetically by term."""
+    import math
+
+    from sketches_go_spark.operators import text as T
+
+    rows = [
+        (1, "apple apple banana"),
+        (2, "apple cherry"),
+        (3, "apple banana banana date"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {
+        (r["doc_id"], r["rank"]): r
+    for r in T.tfidf_top_terms(df, k=2).collect()}
+    idf = lambda dfreq: math.log(4.0 / (dfreq + 1)) + 1.0
+    # doc 1: apple tf=2 df=3 -> 2*idf(3); banana tf=1 df=2 -> idf(2)
+    assert got[(1, 1)]["term"] == "apple"
+    assert got[(1, 1)]["score"] == round(2 * idf(3), 6)
+    assert got[(1, 2)]["term"] == "banana"
+    # doc 2: apple and cherry both tf=1; cherry rarer -> first
+    assert got[(2, 1)]["term"] == "cherry"
+    assert got[(2, 1)]["score"] == round(idf(1), 6)
+    assert got[(2, 2)]["term"] == "apple"
+    # doc 3: banana tf=2 wins over date (tf=1, rarer)
+    assert got[(3, 1)]["term"] == "banana"
+
+
+def test_pack_sequences_invariants_and_partition_invariance(spark):
+    """Packing conservation laws: every doc's tokens_in_pack sum to its
+    n_tokens; within a shard every pack except the last holds exactly
+    `capacity` tokens; each doc spans contiguous packs; the layout is
+    identical under a different input partitioning."""
+    from sketches_go_spark.operators.packing import pack_sequences
+
+    rng = np.random.default_rng(7)
+    pdf = pd.DataFrame(
+        {"doc_id": np.arange(300), "n_tokens": rng.integers(1, 90, size=300)}
+    )
+    df = spark.createDataFrame(pdf)
+    out = pack_sequences(df, capacity=64, n_shards=4).toPandas()
+    # conservation per doc
+    per_doc = out.groupby("doc_id")["tokens_in_pack"].sum()
+    exp = pdf.set_index("doc_id")["n_tokens"]
+    assert (per_doc == exp.loc[per_doc.index]).all()
+    # every pack holds exactly `capacity` tokens except each shard's last
+    per_pack = out.groupby(["shard", "pack_id"])["tokens_in_pack"].sum()
+    for shard, grp in per_pack.groupby(level=0):
+        assert (grp.iloc[:-1] == 64).all()
+        assert 0 < grp.iloc[-1] <= 64
+    # contiguous span per doc
+    for _, g in out.groupby("doc_id"):
+        ps = sorted(g["pack_id"])
+        assert ps == list(range(ps[0], ps[0] + len(ps)))
+    # partition invariance
+    out2 = pack_sequences(
+        df.repartition(13), capacity=64, n_shards=4
+    ).toPandas()
+    key = ["doc_id", "pack_id"]
+    assert (
+        out.sort_values(key).reset_index(drop=True).equals(
+            out2.sort_values(key).reset_index(drop=True)
+        )
+    )
+
+
+def test_ddsketch_cdf_monotone_and_alpha_accurate(spark):
+    """CDF estimates from the bins relation are monotone in the threshold
+    and match the exact empirical CDF within the bucket containing each
+    threshold (rank error <= mass of one alpha-wide bucket)."""
+    from sketches_go_spark.core.ddsketch import DDSketchConfig
+    from sketches_go_spark.functions import ddsketch_fns as dd
+
+    cfg = DDSketchConfig(alpha=0.01)
+    m = cfg.mapping()
+    rng = np.random.default_rng(3)
+    vals = rng.lognormal(mean=2.0, sigma=1.0, size=20000)
+    df = spark.createDataFrame(
+        pd.DataFrame({"g": ["a"] * len(vals), "v": vals})
+    )
+    bins = dd.build_bins(df, "v", ["g"], cfg)
+    total = F.sum("count")
+    aggs = []
+    ths = (2.0, 8.0, 30.0, 120.0)
+    for t in ths:
+        it = int(m.index_scalar(float(t)))
+        mass = F.sum(
+            F.when(
+                (F.col("sign") < 1)
+                | ((F.col("sign") == 1) & (F.col("bucket") <= F.lit(it))),
+                F.col("count"),
+            ).otherwise(F.lit(0.0))
+        )
+        aggs.append((mass / total).alias(f"f{t}"))
+    row = bins.groupBy("g").agg(*aggs).collect()[0]
+    fr = [row[f"f{t}"] for t in ths]
+    assert all(a <= b for a, b in zip(fr, fr[1:]))
+    for t, f in zip(ths, fr):
+        exact = float(np.mean(vals <= t))
+        # estimator counts whole buckets: error bounded by the mass near the
+        # threshold's bucket edge (loose 2-alpha-wide value band)
+        band = float(
+            np.mean((vals > t * (1 - 0.025)) & (vals <= t * (1 + 0.025)))
+        )
+        assert abs(f - exact) <= band + 1e-9, (t, f, exact, band)
