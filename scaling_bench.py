@@ -133,9 +133,11 @@ for _ in range({reps}):
     job()
     times.append(time.perf_counter() - t0)
 extra = {{}}
-if job_kind == "components":
+if job_kind == "components" and {probe_rounds}:
     # rounds-to-convergence (deterministic for a fixed input): replay once
-    # through the durable-manifest path and read the round count back
+    # through the durable-manifest path and read the round count back —
+    # only at one level; the count is a property of the input, not the
+    # parallelism
     import json as _json, shutil, tempfile
     mdir = tempfile.mkdtemp(prefix="sgs_cc_rounds_")
     try:
@@ -176,9 +178,17 @@ spark.stop()
     return cache
 
 
-def measure(cores: int, cache: str, turns: int, reps: int, job: str = "relational") -> dict:
+def measure(
+    cores: int,
+    cache: str,
+    turns: int,
+    reps: int,
+    job: str = "relational",
+    probe_rounds: bool = True,
+) -> dict:
     code = _RUNNER.format(
-        repo=REPO, cores=cores, cache=cache, reps=reps, job=job, turns=turns
+        repo=REPO, cores=cores, cache=cache, reps=reps, job=job, turns=turns,
+        probe_rounds=probe_rounds,
     )
     env = dict(os.environ)
     # FIXED modest heap, identical at every level: the earlier 8+2*cores
@@ -275,7 +285,8 @@ def main() -> None:
             with open(os.path.join(REPO, "BASELINE.md"), "a") as f:
                 f.write(stamp)
         return
-    low = measure(args.low, cache, args.turns, args.reps, args.job)
+    low = measure(args.low, cache, args.turns, args.reps, args.job,
+                  probe_rounds=False)
     high = measure(args.high, cache, args.turns, args.reps, args.job)
     speedup = low["best_sec"] / high["best_sec"]
     efficiency = speedup / (args.high / args.low)
