@@ -592,11 +592,53 @@ def q_retention_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_funnel_signup_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Classic event funnel per user: signup → click-after-signup →
-    purchase-after-that — one conditional-min aggregation per stage over
-    (user, ts) pairs only (operators/temporal.py::funnel)."""
+    purchase-after-that — single-job chained-conditional-min formulation
+    (operators/temporal.py::funnel)."""
     ev = _events_micros(spark, sf_dir)
     return temporal.funnel(
         ev, "user_id", "event_type", "tsu", ["signup", "click", "purchase"]
+    ).orderBy("step")
+
+
+def q_asof_nearest_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of NEAREST: each purchase annotated with the user's closest click
+    on either side of it (ties -> the at-or-before click, matching pandas
+    merge_asof) — one Exchange, two frame windows over one sort
+    (operators/temporal.py::asof_nearest)."""
+    ev = _events_micros(spark, sf_dir)
+    left = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "tsu"
+    )
+    right = ev.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "tsu"
+    )
+    out = temporal.asof_nearest(
+        left, right, "user_id", "tsu", "tsu",
+        ["event_id"], "event_id", "event_id", how="left",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.col("asof_event_id").alias("click_event_id"),
+        F.round(F.col("asof_distance") / F.lit(1e6), 6).alias("dist_s"),
+    ).orderBy("event_id")
+
+
+_FUNNEL_WITHIN_US = 7 * 24 * 3600 * 1_000_000  # 7 days in microseconds
+
+
+def q_funnel_within_week(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same funnel with a first-step-anchored conversion window: every
+    later step must land within 7 days of the user's FIRST signup — the
+    time-bounded variant every growth dashboard runs."""
+    ev = _events_micros(spark, sf_dir)
+    return temporal.funnel(
+        ev,
+        "user_id",
+        "event_type",
+        "tsu",
+        ["signup", "click", "purchase"],
+        within=float(_FUNNEL_WITHIN_US),
     ).orderBy("step")
 
 
@@ -1807,6 +1849,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences_documents": q_pack_sequences_documents,
         "ddsketch_cdf_by_event_type": q_ddsketch_cdf_by_event_type,
         "streaming_dedup_exact": q_streaming_dedup_exact,
+        "funnel_within_week": q_funnel_within_week,
+        "asof_nearest_purchase_click": q_asof_nearest_purchase_click,
         "ddsketch_quantiles_value_by_event_type": q_ddsketch_quantiles_value_by_event_type,
         "ddsketch_linear_quantiles_by_event_type": q_ddsketch_linear_quantiles,
         "ddsketch_cubic_quantiles_by_event_type": q_ddsketch_cubic_quantiles,
@@ -2466,6 +2510,76 @@ ORDER BY l_returnflag, l_linestatus""",
         )
         + " ORDER BY doc_id, pack_id",
         "ddsketch_cdf_by_event_type": _cdf_oracle_sql(),
+        # within-window funnel: same staged replay with the first-step-
+        # anchored bound on every later stage
+        "funnel_within_week": f"""
+WITH sgs_e AS (
+  SELECT user_id, event_type, cast(epoch_us(ts) AS double) AS tsd FROM events
+),
+sgs_s1 AS (
+  SELECT user_id, min(tsd) AS t1 FROM sgs_e
+  WHERE event_type = 'signup' GROUP BY user_id
+),
+sgs_s2 AS (
+  SELECT e.user_id, min(e.tsd) AS t2, min(s.t1) AS t1
+  FROM sgs_e e JOIN sgs_s1 s ON s.user_id = e.user_id
+  WHERE e.event_type = 'click' AND e.tsd >= s.t1
+    AND e.tsd <= s.t1 + {float(_FUNNEL_WITHIN_US)} GROUP BY e.user_id
+),
+sgs_s3 AS (
+  SELECT e.user_id, min(e.tsd) AS t3
+  FROM sgs_e e JOIN sgs_s2 s ON s.user_id = e.user_id
+  WHERE e.event_type = 'purchase' AND e.tsd >= s.t2
+    AND e.tsd <= s.t1 + {float(_FUNNEL_WITHIN_US)} GROUP BY e.user_id
+),
+sgs_n AS (
+  SELECT (SELECT count(*) FROM sgs_s1) AS n1,
+         (SELECT count(*) FROM sgs_s2) AS n2,
+         (SELECT count(*) FROM sgs_s3) AS n3
+)
+SELECT 1 AS step, 'signup' AS step_name, n1 AS users,
+       CASE WHEN n1 = 0 THEN 0.0
+            ELSE round(n1 / cast(n1 AS double), 6) END AS conversion FROM sgs_n
+UNION ALL
+SELECT 2, 'click', n2,
+       CASE WHEN n1 = 0 THEN 0.0
+            ELSE round(n2 / cast(n1 AS double), 6) END FROM sgs_n
+UNION ALL
+SELECT 3, 'purchase', n3,
+       CASE WHEN n1 = 0 THEN 0.0
+            ELSE round(n3 / cast(n1 AS double), 6) END FROM sgs_n
+ORDER BY step""",
+        # nearest = pick-closer over the backward/forward lateral argmins,
+        # identical tie rules to the one-pass window formulation
+        "asof_nearest_purchase_click": """
+WITH sgs_l AS (
+  SELECT event_id, user_id, cast(epoch_us(ts) AS double) AS tsu
+  FROM events WHERE event_type = 'purchase'
+),
+sgs_r AS (
+  SELECT event_id, user_id, cast(epoch_us(ts) AS double) AS tsu
+  FROM events WHERE event_type = 'click'
+)
+SELECT l.event_id, l.user_id,
+       CASE WHEN p.event_id IS NOT NULL
+                 AND (n.event_id IS NULL OR (l.tsu - p.tsu) <= (n.tsu - l.tsu))
+            THEN p.event_id ELSE n.event_id END AS click_event_id,
+       round(CASE WHEN p.event_id IS NOT NULL
+                       AND (n.event_id IS NULL OR (l.tsu - p.tsu) <= (n.tsu - l.tsu))
+                  THEN (l.tsu - p.tsu)
+                  ELSE (n.tsu - l.tsu) END / 1e6, 6) AS dist_s
+FROM sgs_l l
+LEFT JOIN LATERAL (
+  SELECT r.event_id, r.tsu FROM sgs_r r
+  WHERE r.user_id = l.user_id AND r.tsu <= l.tsu
+  ORDER BY r.tsu DESC, r.event_id DESC LIMIT 1
+) p ON true
+LEFT JOIN LATERAL (
+  SELECT r.event_id, r.tsu FROM sgs_r r
+  WHERE r.user_id = l.user_id AND r.tsu > l.tsu
+  ORDER BY r.tsu ASC, r.event_id ASC LIMIT 1
+) n ON true
+ORDER BY l.event_id""",
         # streaming state == batch aggregation (min/count are order-free
         # monoids over the content fingerprint)
         "streaming_dedup_exact": (

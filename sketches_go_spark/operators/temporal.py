@@ -259,3 +259,88 @@ def asof_join(
         "_lrow.*",
         *[F.col(f"_asof.{c}").alias(f"asof_{c}") for c in payload_cols],
     )
+
+
+def asof_nearest(
+    left: DataFrame,
+    right: DataFrame,
+    key_col: str,
+    left_ts: str,
+    right_ts: str,
+    payload_cols: Sequence[str],
+    left_tb: str,
+    right_tb: str,
+    how: str = "inner",
+) -> DataFrame:
+    """As-of join, ``direction='nearest'``: attach the right row whose
+    timestamp is CLOSEST to the left row's, either side.  Tie rules
+    (deterministic, oracle-replayed): equal distance -> the backward
+    (at-or-before) match wins, matching pandas merge_asof; among equal
+    backward timestamps the highest tiebreak id wins (same as
+    :func:`asof_join` backward); among equal forward timestamps the lowest
+    tiebreak id wins.  A right row AT the left timestamp is a backward
+    match at distance 0.
+
+    One-pass formulation: the same union trick as :func:`asof_join`, but
+    with TWO frame windows over ONE sort — the running last-right payload
+    ([unbounded preceding, current]) and the first following right payload
+    ([current, unbounded following]).  Still a single Exchange on the key;
+    the second window reuses the sort (frame change only).  A two-call
+    backward+forward composition would cost two exchanges plus a join."""
+    if how not in ("inner", "left"):
+        raise ValueError("how must be 'inner' or 'left'")
+    pay_t = right.select(
+        F.struct(*[F.col(c) for c in payload_cols]).alias("s")
+    ).schema["s"].dataType
+    lrow_t = left.select(
+        F.struct(*[F.col(c) for c in left.columns]).alias("s")
+    ).schema["s"].dataType
+    lt = left.select(
+        F.col(key_col).alias("_k"),
+        F.col(left_ts).cast("double").alias("_ts"),
+        F.lit(1).alias("_side"),
+        F.col(left_tb).cast("bigint").alias("_tb"),
+        F.struct(*[F.col(c) for c in left.columns]).alias("_lrow"),
+        F.lit(None).cast(pay_t).alias("_payload"),
+    )
+    rt = right.select(
+        F.col(key_col).alias("_k"),
+        F.col(right_ts).cast("double").alias("_ts"),
+        F.lit(0).alias("_side"),
+        F.col(right_tb).cast("bigint").alias("_tb"),
+        F.lit(None).cast(lrow_t).alias("_lrow"),
+        F.struct(*[F.col(c) for c in payload_cols]).alias("_payload"),
+    )
+    u = lt.unionByName(rt)
+    order = (
+        Window.partitionBy("_k")
+        .orderBy(F.col("_ts").asc(), F.col("_side").asc(), F.col("_tb").asc())
+    )
+    w_prev = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w_next = order.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    r_ts = F.when(F.col("_side") == 0, F.col("_ts"))
+    carried = (
+        u.withColumn("_prev", F.last("_payload", ignorenulls=True).over(w_prev))
+        .withColumn("_prev_ts", F.last(r_ts, ignorenulls=True).over(w_prev))
+        .withColumn("_next", F.first("_payload", ignorenulls=True).over(w_next))
+        .withColumn("_next_ts", F.first(r_ts, ignorenulls=True).over(w_next))
+        .where(F.col("_side") == 1)
+    )
+    prev_d = F.col("_ts") - F.col("_prev_ts")
+    next_d = F.col("_next_ts") - F.col("_ts")
+    use_prev = F.col("_prev").isNotNull() & (
+        F.col("_next").isNull() | (prev_d <= next_d)
+    )
+    picked = carried.withColumn(
+        "_asof", F.when(use_prev, F.col("_prev")).otherwise(F.col("_next"))
+    ).withColumn(
+        "_asof_d",
+        F.when(use_prev, prev_d).otherwise(next_d),
+    )
+    if how == "inner":
+        picked = picked.where(F.col("_asof").isNotNull())
+    return picked.select(
+        "_lrow.*",
+        *[F.col(f"_asof.{c}").alias(f"asof_{c}") for c in payload_cols],
+        F.col("_asof_d").alias("asof_distance"),
+    )

@@ -1104,3 +1104,73 @@ def test_ddsketch_cdf_monotone_and_alpha_accurate(spark):
             np.mean((vals > t * (1 - 0.025)) & (vals <= t * (1 + 0.025)))
         )
         assert abs(f - exact) <= band + 1e-9, (t, f, exact, band)
+
+
+def test_asof_nearest_matches_pandas_and_tie_rules(spark):
+    """Distance-to-match equals pandas merge_asof(direction='nearest') on
+    random keyed data (distance is tie-rule-independent), and the operator's
+    documented tie rules hold on crafted cases: equal distance -> backward
+    wins; equal backward ts -> highest id; equal forward ts -> lowest id."""
+    from sketches_go_spark.operators import temporal
+
+    rng = np.random.default_rng(23)
+    left = pd.DataFrame({
+        "k": rng.integers(0, 5, 150),
+        "ts": rng.integers(0, 1000, 150),
+        "lid": np.arange(150),
+    })
+    right = pd.DataFrame({
+        "k": rng.integers(0, 5, 200),
+        "ts": rng.integers(0, 1000, 200),
+        "rid": np.arange(200),
+    })
+    lp = left.sort_values(["ts", "lid"], kind="stable")
+    rp = right.sort_values(["ts", "rid"], kind="stable")
+    exp = pd.merge_asof(lp, rp, on="ts", by="k",
+                        direction="nearest", suffixes=("", "_r"))
+    # reconstruct the matched right ts to get tie-independent distances
+    rts = right.set_index("rid")["ts"]
+    exp_d = {
+        int(r.lid): (None if pd.isna(r.rid) else abs(int(r.ts) - int(rts[int(r.rid)])))
+        for r in exp.itertuples()
+    }
+    out = temporal.asof_nearest(
+        spark.createDataFrame(left), spark.createDataFrame(right),
+        "k", "ts", "ts", ["rid"], "lid", "rid", how="left",
+    )
+    got_d = {
+        int(r["lid"]): (None if r["asof_rid"] is None else int(r["asof_distance"]))
+        for r in out.collect()
+    }
+    assert got_d == exp_d
+
+    # crafted tie cases on one key
+    lt = spark.createDataFrame([(1, 100, 1), (1, 50, 2)], "k int, ts int, lid int")
+    rt = spark.createDataFrame(
+        [(1, 90, 10), (1, 90, 11), (1, 110, 20), (1, 110, 21), (1, 40, 30)],
+        "k int, ts int, rid int",
+    )
+    res = {
+        r["lid"]: (r["asof_rid"], r["asof_distance"])
+        for r in temporal.asof_nearest(
+            lt, rt, "k", "ts", "ts", ["rid"], "lid", "rid"
+        ).collect()
+    }
+    # lid 1 at ts=100: prev at 90 (dist 10) vs next at 110 (dist 10) — tie
+    # -> backward wins, and among the two ts=90 rows the highest rid (11)
+    assert res[1] == (11, 10.0)
+    # lid 2 at ts=50: prev at 40 (dist 10) beats next at 90 (dist 40)
+    assert res[2] == (30, 10.0)
+
+    # forward-tie rule: only future rows, duplicated ts -> lowest rid
+    lt2 = spark.createDataFrame([(1, 10, 1)], "k int, ts int, lid int")
+    res2 = temporal.asof_nearest(
+        lt2, rt, "k", "ts", "ts", ["rid"], "lid", "rid"
+    ).collect()[0]
+    assert (res2["asof_rid"], res2["asof_distance"]) == (30, 30.0)
+    lt3 = spark.createDataFrame([(1, 120, 1)], "k int, ts int, lid int")
+    res3 = temporal.asof_nearest(
+        lt3, rt, "k", "ts", "ts", ["rid"], "lid", "rid"
+    ).collect()[0]
+    # prev: ts=110 dist 10 (highest rid 21) beats nothing forward
+    assert (res3["asof_rid"], res3["asof_distance"]) == (21, 10.0)
