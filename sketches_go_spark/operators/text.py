@@ -347,7 +347,19 @@ def winnow_containment_pairs(
     Scale shape mirrors ngram_jaccard_pairs: the fingerprint relation IS the
     blocking index (pairs only meet on a shared fingerprint), and ``fp_cap``
     drops boilerplate fingerprints shared by more than that many docs before
-    the self-join — the anti-quadratic guard."""
+    the self-join — the anti-quadratic guard.
+
+    Round-4 plan audit: at sf0.1 this is the slowest pipeline query (~13 s)
+    because the SYNTHETIC corpus is adversarial to blocking — its ~100-word
+    vocabulary makes 64% of ALL doc pairs share a fingerprint (8.0 M of
+    12.5 M possible at 5 000 docs), so candidate generation is inherently
+    ~n²/2 on this data.  Two alternative plans (postings-array HOF explode;
+    posexplode+slice streaming explode) were measured at 11-26 s — the 8 M
+    distinct candidate pairs are the cost, not the join shape.  On real
+    corpora fingerprint doc-frequency is long-tail-low and fp_cap bounds
+    the hot tail; the join formulation below is the fastest of the three
+    measured and the one that streams (never materializes a posting's
+    C(df,2) pairs in one buffer)."""
     fps = winnow_fingerprints(df, id_col, text_col, k=k, w=w)
     sizes = fps.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     rare = (
