@@ -49,7 +49,18 @@ def _prev_bench() -> dict:
         with open(best[1]) as f:
             rec = json.load(f)
         parsed = rec.get("parsed", rec)
-        return {"round": best[0], "queries": parsed.get("queries", {})}
+        if isinstance(parsed, dict) and parsed.get("queries"):
+            return {"round": best[0], "queries": parsed["queries"]}
+        # driver records sometimes carry parsed=None plus a front-truncated
+        # 'tail' of the JSON line; salvage whatever per-query timings
+        # survive (the segment before steal_pct is timing pairs only)
+        tail = rec.get("tail", "")
+        head = tail.split('"steal_pct"')[0]
+        qs = {
+            m.group(1): float(m.group(2))
+            for m in re.finditer(r'"([a-z0-9_]+)": ([0-9.]+)', head)
+        }
+        return {"round": best[0], "queries": qs} if qs else {}
     except Exception:
         return {}
 
