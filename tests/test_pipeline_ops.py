@@ -1174,3 +1174,30 @@ def test_asof_nearest_matches_pandas_and_tie_rules(spark):
     ).collect()[0]
     # prev: ts=110 dist 10 (highest rid 21) beats nothing forward
     assert (res3["asof_rid"], res3["asof_distance"]) == (21, 10.0)
+
+
+def test_asof_nearest_and_pack_plans_single_exchange(spark):
+    """Scale claims asserted on physical plans: asof_nearest costs ONE
+    Exchange (the second frame window reuses the union sort), and
+    pack_sequences costs ONE Exchange (the shard window; the explode and
+    interval arithmetic are per-row)."""
+    from sketches_go_spark.operators import temporal
+    from sketches_go_spark.operators.packing import pack_sequences
+
+    ev = spark.createDataFrame(
+        [(1, 10, 100), (1, 11, 200), (2, 12, 50)], "k bigint, eid bigint, ts bigint"
+    )
+    plan_n = (
+        temporal.asof_nearest(ev, ev, "k", "ts", "ts", ["eid"], "eid", "eid")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan_n.count("Exchange") == 1, plan_n
+
+    toks = spark.createDataFrame(
+        [(i, 10 + i % 5) for i in range(50)], "doc_id bigint, n_tokens bigint"
+    )
+    plan_p = (
+        pack_sequences(toks, capacity=16, n_shards=4)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan_p.count("Exchange") == 1, plan_p
