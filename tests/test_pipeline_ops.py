@@ -1201,3 +1201,33 @@ def test_asof_nearest_and_pack_plans_single_exchange(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert plan_p.count("Exchange") == 1, plan_p
+
+
+def test_pack_sequences_production_hash_family(spark):
+    """The hash-family seam: packing under the JVM-intrinsic xxhash64
+    family keeps every invariant (conservation, exact pack fill,
+    partition invariance) — only the shard assignment differs from the
+    portable-md5 oracle family."""
+    from sketches_go_spark.functions.expressions import xxhash64_fn
+    from sketches_go_spark.operators.packing import pack_sequences
+
+    rng = np.random.default_rng(17)
+    pdf = pd.DataFrame(
+        {"doc_id": np.arange(200), "n_tokens": rng.integers(1, 50, size=200)}
+    )
+    df = spark.createDataFrame(pdf)
+    out = pack_sequences(
+        df, capacity=64, n_shards=4, hash_fn=xxhash64_fn
+    ).toPandas()
+    per_doc = out.groupby("doc_id")["tokens_in_pack"].sum()
+    assert (per_doc == pdf.set_index("doc_id")["n_tokens"].loc[per_doc.index]).all()
+    per_pack = out.groupby(["shard", "pack_id"])["tokens_in_pack"].sum()
+    for _, grp in per_pack.groupby(level=0):
+        assert (grp.iloc[:-1] == 64).all() and 0 < grp.iloc[-1] <= 64
+    out2 = pack_sequences(
+        df.repartition(7), capacity=64, n_shards=4, hash_fn=xxhash64_fn
+    ).toPandas()
+    key = ["doc_id", "pack_id"]
+    assert out.sort_values(key).reset_index(drop=True).equals(
+        out2.sort_values(key).reset_index(drop=True)
+    )
