@@ -1551,6 +1551,41 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def q_dedup_canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup CAPSTONE — the relation a training-data pipeline actually
+    ships: every doc labeled with its near-dup component AND the component's
+    canonical document, chosen as highest quality score (tie -> lowest id).
+    Composes simhash pairs -> connected components -> quality scoring ->
+    a map-side-combinable max_by argmax per component (no window over the
+    corpus)."""
+    docs = _docs(spark, sf_dir)
+    pairs = dedup.simhash_pairs(docs, bits=60, max_hamming=3, block_col=None)
+    comp = dedup.connected_components(pairs).withColumnRenamed("node", "doc_id")
+    q = ops_text.quality_features(docs).select("doc_id", "quality_score")
+    lab = (
+        docs.select("doc_id")
+        .join(comp, "doc_id", "left")
+        .select("doc_id", F.coalesce("component", "doc_id").alias("component"))
+        .join(q, "doc_id")
+    )
+    canon = lab.groupBy("component").agg(
+        F.max_by(
+            F.col("doc_id"),
+            F.struct(F.col("quality_score"), (-F.col("doc_id")).alias("_nid")),
+        ).alias("canonical_id")
+    )
+    return (
+        lab.join(canon, "component")
+        .select(
+            "doc_id",
+            "component",
+            "canonical_id",
+            (F.col("doc_id") == F.col("canonical_id")).alias("is_canonical"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def q_sample_split_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic train/val/test split (98/1/1 by hash bucket) plus
     membership of the independent 10% deterministic sample — reproducible
@@ -1851,6 +1886,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_dedup_exact": q_streaming_dedup_exact,
         "funnel_within_week": q_funnel_within_week,
         "asof_nearest_purchase_click": q_asof_nearest_purchase_click,
+        "dedup_canonical_docs": q_dedup_canonical_docs,
         "ddsketch_quantiles_value_by_event_type": q_ddsketch_quantiles_value_by_event_type,
         "ddsketch_linear_quantiles_by_event_type": q_ddsketch_linear_quantiles,
         "ddsketch_cubic_quantiles_by_event_type": q_ddsketch_cubic_quantiles,
@@ -2596,6 +2632,7 @@ ORDER BY l.event_id""",
         "dedup_simhash_pairs": opl.simhash_pairs_oracle(max_hamming=1),
         "dedup_simhash_pairs_global": opl.simhash_pairs_global_oracle(max_hamming=3),
         "dedup_components": opl.components_oracle(max_hamming=3),
+        "dedup_canonical_docs": opl.canonical_docs_oracle(max_hamming=3),
         "text_winnow_containment": opl.winnow_containment_oracle(threshold=0.5),
         "sample_split_documents": opl.sample_split_oracle(rate=0.1),
         "sample_stratified_by_lang": opl.stratified_topk_oracle(key="lang", k=5),

@@ -223,6 +223,49 @@ LEFT JOIN sgs_comp c ON c.node = d.doc_id
 ORDER BY doc_id"""
 
 
+def canonical_docs_oracle(
+    src: str = "documents", bits: int = 60, max_hamming: int = 3
+) -> str:
+    """Replay of the dedup capstone: simhash closure components + quality
+    scores + per-component argmax (max rounded quality, tie -> min id)."""
+    base = simhash_oracle(src, bits).rsplit("ORDER BY", 1)[0]
+    qs = quality_features_sql("text")["quality_score"]
+    return f"""WITH RECURSIVE sgs_simhash AS ({base}),
+sgs_pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM sgs_simhash a
+  JOIN sgs_simhash b ON a.doc_id < b.doc_id
+  WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
+),
+sgs_edges AS (
+  SELECT id_a AS u, id_b AS v FROM sgs_pairs
+  UNION SELECT id_b AS u, id_a AS v FROM sgs_pairs
+),
+sgs_reach(node, lbl) AS (
+  SELECT DISTINCT u, u FROM sgs_edges
+  UNION
+  SELECT e.v, r.lbl FROM sgs_reach r JOIN sgs_edges e ON e.u = r.node
+  WHERE r.lbl < e.v
+),
+sgs_comp AS (SELECT node, min(lbl) AS component FROM sgs_reach GROUP BY node),
+sgs_lab AS (
+  SELECT d.doc_id, coalesce(c.component, d.doc_id) AS component, {qs} AS qs
+  FROM {src} d LEFT JOIN sgs_comp c ON c.node = d.doc_id
+),
+sgs_canon AS (
+  SELECT component, doc_id AS canonical_id,
+         row_number() OVER (PARTITION BY component
+                            ORDER BY qs DESC, doc_id ASC) AS rn
+  FROM sgs_lab
+)
+SELECT l.doc_id, l.component, cc.canonical_id,
+       l.doc_id = cc.canonical_id AS is_canonical
+FROM sgs_lab l
+JOIN (SELECT component, canonical_id FROM sgs_canon WHERE rn = 1) cc
+  USING (component)
+ORDER BY doc_id"""
+
+
 # ----------------------------------------------------------------- similarity
 def _dot_sql(a: str, b: str, dim: int) -> str:
     return (
