@@ -451,6 +451,47 @@ def q_ddsketch_mad_by_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     return med.join(mad, "event_type").orderBy("event_type")
 
 
+def q_ddsketch_outlier_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-GATED row filtering — the monitoring pattern where a tiny
+    cube relation polices a huge stream: robust per-group thresholds
+    (median + 3·MAD, both from relational sketch passes) broadcast back
+    onto the raw relation; labeling adds ZERO shuffles to the raw rows
+    (broadcast join + map-side aggregation).  Output (event_type, n,
+    n_outliers, outlier_rate)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_type", F.col("value").cast("double").alias("v")
+    )
+    med = dd.ddsketch_quantiles_relational(
+        ev, "v", ["event_type"], (0.5,), CFG
+    ).select("event_type", F.col("est").alias("med"))
+    dev = ev.join(F.broadcast(med), "event_type").select(
+        "event_type", "med", F.abs(F.col("v") - F.col("med")).alias("d")
+    )
+    mad = dd.ddsketch_quantiles_relational(
+        dev, "d", ["event_type"], (0.5,), CFG
+    ).select("event_type", F.col("est").alias("mad"))
+    thr = med.join(mad, "event_type").select(
+        "event_type", (F.col("med") + F.lit(3.0) * F.col("mad")).alias("thr")
+    )
+    return (
+        ev.join(F.broadcast(thr), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(F.col("v") > F.col("thr"), 1).otherwise(0)).alias(
+                "n_outliers"
+            ),
+        )
+        .select(
+            "event_type",
+            "n",
+            "n_outliers",
+            F.round(F.col("n_outliers") / F.col("n"), 6).alias("outlier_rate"),
+        )
+        .orderBy("event_type")
+    )
+
+
 def q_ddsketch_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trend of the daily p95 per event_type: ordinary-least-squares slope
     over the (day, p95) points that the bins cube yields — drift DIRECTION
@@ -1887,6 +1928,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel_within_week": q_funnel_within_week,
         "asof_nearest_purchase_click": q_asof_nearest_purchase_click,
         "dedup_canonical_docs": q_dedup_canonical_docs,
+        "ddsketch_outlier_rate": q_ddsketch_outlier_rate,
         "ddsketch_quantiles_value_by_event_type": q_ddsketch_quantiles_value_by_event_type,
         "ddsketch_linear_quantiles_by_event_type": q_ddsketch_linear_quantiles,
         "ddsketch_cubic_quantiles_by_event_type": q_ddsketch_cubic_quantiles,
@@ -2275,6 +2317,31 @@ GROUP BY b.event_type ORDER BY b.event_type"""
 SELECT m.event_type, m.est AS med, d.est AS mad
 FROM sgs_med m JOIN sgs_mad d USING (event_type)
 ORDER BY event_type"""
+        ),
+        # sketch-gated outlier rate: the MAD CTEs + threshold + one count
+        "ddsketch_outlier_rate": (
+            "WITH sgs_med AS ("
+            + oracles.ddsketch_quantiles_sql(
+                _EVENT_VALUE_MEASURE_SQL, ["event_type"], (0.5,), CFG
+            )
+            + "),\nsgs_mad AS ("
+            + oracles.ddsketch_quantiles_sql(
+                "SELECT e.event_type, abs(cast(e.value AS double) - m.est) AS v "
+                "FROM events e JOIN sgs_med m ON m.event_type = e.event_type",
+                ["event_type"], (0.5,), CFG,
+            )
+            + """),
+sgs_thr AS (
+  SELECT m.event_type, m.est + 3.0 * d.est AS thr
+  FROM sgs_med m JOIN sgs_mad d USING (event_type)
+)
+SELECT e.event_type, count(*) AS n,
+       cast(sum(CASE WHEN cast(e.value AS double) > t.thr
+                     THEN 1 ELSE 0 END) AS bigint) AS n_outliers,
+       round(sum(CASE WHEN cast(e.value AS double) > t.thr THEN 1 ELSE 0 END)
+             / cast(count(*) AS double), 6) AS outlier_rate
+FROM events e JOIN sgs_thr t USING (event_type)
+GROUP BY e.event_type ORDER BY e.event_type"""
         ),
         # PSI replay: two range-filtered bins builds, normalized, joined
         "ddsketch_psi_value_drift": (
