@@ -1654,6 +1654,19 @@ def q_sample_stratified_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("lang", "rk")
 
 
+def q_sample_rebalance_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus rebalancing: downsample every language to ~the smallest
+    language's size via per-group hash-threshold rates — the
+    mixture-balancing op, zero shuffles on the data rows
+    (operators/sampling.py::rebalanced_sample)."""
+    docs = _docs(spark, sf_dir)
+    return (
+        sampling.rebalanced_sample(docs, ["lang"])
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    )
+
+
 def q_embedding_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SEMANTIC dedup groups: the embedding near-dup pair graph (banded
     cosine LSH) closed into components — the same large-star/small-star
@@ -1929,6 +1942,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_nearest_purchase_click": q_asof_nearest_purchase_click,
         "dedup_canonical_docs": q_dedup_canonical_docs,
         "ddsketch_outlier_rate": q_ddsketch_outlier_rate,
+        "sample_rebalance_by_lang": q_sample_rebalance_by_lang,
         "ddsketch_quantiles_value_by_event_type": q_ddsketch_quantiles_value_by_event_type,
         "ddsketch_linear_quantiles_by_event_type": q_ddsketch_linear_quantiles,
         "ddsketch_cubic_quantiles_by_event_type": q_ddsketch_cubic_quantiles,
@@ -2703,6 +2717,21 @@ ORDER BY l.event_id""",
         "text_winnow_containment": opl.winnow_containment_oracle(threshold=0.5),
         "sample_split_documents": opl.sample_split_oracle(rate=0.1),
         "sample_stratified_by_lang": opl.stratified_topk_oracle(key="lang", k=5),
+        # per-group floor thresholds + the same portable hash filter
+        "sample_rebalance_by_lang": """
+WITH sgs_cnt AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+sgs_tgt AS (SELECT min(n) AS tgt FROM sgs_cnt),
+sgs_thr AS (
+  SELECT lang,
+         cast(floor(least(1.0, cast(t.tgt AS double) / c.n) * 1000000)
+              AS bigint) AS thr
+  FROM sgs_cnt c CROSS JOIN sgs_tgt t
+)
+SELECT d.doc_id, d.lang
+FROM documents d JOIN sgs_thr USING (lang)
+WHERE cast(concat('0x', substr(md5(concat('rebal:',
+        cast(d.doc_id as string))), 1, 15)) as bigint) % 1000000 < thr
+ORDER BY doc_id""",
         "kmeans_assign_embeddings": sim.kmeans_oracle_sql(k=8, iters=3),
         "sim_topk_bruteforce": opl.brute_force_topk_oracle(),
         "sim_ann_lsh": opl.lsh_ann_topk_oracle(),

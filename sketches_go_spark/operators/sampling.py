@@ -118,3 +118,45 @@ def stratified_topk_sample(
         df.withColumn("rk", F.row_number().over(w).cast("int"))
         .where(F.col("rk") <= k)
     )
+
+
+def rebalanced_sample(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    id_col: str | Column = "doc_id",
+    target: int | None = None,
+    salt: str = "rebal:",
+    hash_fn=None,
+) -> DataFrame:
+    """Deterministic GROUP-REBALANCING sample: per-group keep-rate
+    ``rate_g = min(1, target / n_g)`` (``target`` defaults to the smallest
+    group's size), applied as the same hash-threshold filter as
+    :func:`deterministic_sample` — the corpus-balancing op (e.g. equalize
+    languages) every mixture-training pipeline needs.
+
+    Scale shape: one tiny per-group count aggregation broadcast back onto
+    the rows; the filter itself is a pure projection — ZERO shuffles on the
+    data rows, and the kept set is reproducible, nested (smaller targets
+    keep subsets), and entity-aligned across tables like all hash sampling.
+    Integer thresholds use floor (not round) so every engine agrees at the
+    boundary."""
+    hash_fn = hash_fn or portable_hash64
+    counts = df.groupBy(*group_cols).agg(F.count(F.lit(1)).alias("_n"))
+    if target is None:
+        tgt = counts.agg(F.min("_n").alias("_tgt"))
+        counts = counts.join(F.broadcast(tgt), how="cross")
+    else:
+        if target <= 0:
+            raise ValueError("target must be positive")
+        counts = counts.withColumn("_tgt", F.lit(int(target)))
+    thr = F.floor(
+        F.least(F.lit(1.0), F.col("_tgt").cast("double") / F.col("_n"))
+        * F.lit(SPLIT_BUCKETS)
+    )
+    counts = counts.select(*group_cols, thr.alias("_thr"))
+    bucket = F.pmod(hash_fn(_col(id_col), salt), F.lit(SPLIT_BUCKETS))
+    return (
+        df.join(F.broadcast(counts), list(group_cols))
+        .where(bucket < F.col("_thr"))
+        .drop("_thr")
+    )

@@ -1231,3 +1231,29 @@ def test_pack_sequences_production_hash_family(spark):
     assert out.sort_values(key).reset_index(drop=True).equals(
         out2.sort_values(key).reset_index(drop=True)
     )
+
+
+def test_rebalanced_sample_invariants(spark):
+    """Group rebalancing: kept counts concentrate near the target, smaller
+    targets keep strict subsets (hash-threshold nesting), the smallest
+    group is kept whole when target defaults to its size, and membership
+    is partition-invariant."""
+    from sketches_go_spark.operators.sampling import rebalanced_sample
+
+    rng = np.random.default_rng(31)
+    langs = ["en"] * 2000 + ["de"] * 500 + ["zh"] * 100
+    pdf = pd.DataFrame({"doc_id": np.arange(len(langs)), "lang": langs})
+    df = spark.createDataFrame(pdf)
+    out = rebalanced_sample(df, ["lang"]).toPandas()
+    sizes = out.groupby("lang").size()
+    # smallest group kept whole; larger groups near the 100-target
+    assert sizes["zh"] == 100
+    assert 60 <= sizes["en"] <= 140 and 60 <= sizes["de"] <= 140
+    # nesting: target 50 keeps a subset of target 100's rows
+    small = rebalanced_sample(df, ["lang"], target=50).toPandas()
+    assert set(small["doc_id"]) <= set(
+        rebalanced_sample(df, ["lang"], target=100).toPandas()["doc_id"]
+    )
+    # partition invariance
+    out2 = rebalanced_sample(df.repartition(13), ["lang"]).toPandas()
+    assert set(out["doc_id"]) == set(out2["doc_id"])
