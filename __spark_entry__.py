@@ -1510,6 +1510,15 @@ def q_pack_sequences_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id", "pack_id")
 
 
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping retrieval/RAG chunking: 64-token windows every 48 tokens
+    per document, text re-joined per chunk — zero-shuffle per-row Catalyst
+    (operators/packing.py::chunk_documents)."""
+    return packing.chunk_documents(
+        _docs(spark, sf_dir), chunk_tokens=64, stride=48
+    ).orderBy("doc_id", "chunk_idx")
+
+
 def q_text_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing (rolling-hash family) fingerprint sets per document —
     substring-level dedup keys; exact portable-hash oracle."""
@@ -1943,6 +1952,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_canonical_docs": q_dedup_canonical_docs,
         "ddsketch_outlier_rate": q_ddsketch_outlier_rate,
         "sample_rebalance_by_lang": q_sample_rebalance_by_lang,
+        "chunk_documents": q_chunk_documents,
         "ddsketch_quantiles_value_by_event_type": q_ddsketch_quantiles_value_by_event_type,
         "ddsketch_linear_quantiles_by_event_type": q_ddsketch_linear_quantiles,
         "ddsketch_cubic_quantiles_by_event_type": q_ddsketch_cubic_quantiles,
@@ -2627,6 +2637,10 @@ ORDER BY l_returnflag, l_linestatus""",
         )
         + " ORDER BY doc_id, pack_id",
         "ddsketch_cdf_by_event_type": _cdf_oracle_sql(),
+        "chunk_documents": packing.chunk_documents_sql(
+            "documents", chunk_tokens=64, stride=48
+        )
+        + " ORDER BY doc_id, chunk_idx",
         # within-window funnel: same staged replay with the first-step-
         # anchored bound on every later stage
         "funnel_within_week": f"""

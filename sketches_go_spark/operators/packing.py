@@ -131,3 +131,85 @@ CROSS JOIN LATERAL (
     cast(floor(s_start / {capacity}) AS bigint),
     cast(floor((s_end - 1) / {capacity}) AS bigint))) AS p
 ) p"""
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 64,
+    stride: int = 48,
+) -> DataFrame:
+    """(doc, chunk_idx, start_tok, n_tok, chunk_text): overlapping
+    fixed-size token windows per document — the retrieval/RAG chunking op
+    (the intra-document complement of :func:`pack_sequences`).  Windows
+    start every ``stride`` tokens; the final window is the remainder (no
+    padding); overlap = chunk_tokens - stride.
+
+    Pure per-row Catalyst: tokenize once with split, emit window starts
+    with sequence, slice + rejoin per window — zero shuffles, the whole
+    chunker runs inside the scan's codegen and fans out
+    ~n_tokens/stride rows per doc.
+
+    Coverage rule: starts are 1, 1+stride, ... bounded by
+    ``min(max(n - chunk, 0) + stride, n)`` — the first start at-or-past
+    ``n - chunk + 1`` is the last window, so every token lands in at least
+    one chunk when ``stride <= chunk_tokens``, the tail window is the
+    remainder (no padding), and no fully-redundant trailing window is
+    emitted."""
+    if chunk_tokens <= 0 or stride <= 0:
+        raise ValueError("chunk_tokens and stride must be positive")
+    toks = F.split(F.lower(F.trim(_col(text_col))), " ")
+    d = df.select(_col(id_col).alias(id_col), toks.alias("_t"))
+    d = d.where(F.size("_t") > 0)
+    n = F.size("_t")
+    bound = F.least(
+        F.greatest(n - F.lit(chunk_tokens), F.lit(0)) + F.lit(stride), n
+    )
+    starts = F.sequence(F.lit(1), bound, F.lit(stride))
+    d = d.select(
+        id_col, "_t", F.posexplode(starts).alias("chunk_idx", "_start")
+    )
+    piece = F.slice(F.col("_t"), F.col("_start"), F.lit(chunk_tokens))
+    return d.select(
+        id_col,
+        "chunk_idx",
+        (F.col("_start") - 1).alias("start_tok"),
+        F.size(piece).alias("n_tok"),
+        F.array_join(piece, " ").alias("chunk_text"),
+    )
+
+
+def chunk_documents_sql(
+    src: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 64,
+    stride: int = 48,
+) -> str:
+    """DuckDB replay of :func:`chunk_documents` (same tokenization, same
+    window grid, same remainder semantics)."""
+    return f"""WITH sgs_tok AS (
+  SELECT {id_col}, string_split(lower(trim({text_col})), ' ') AS t
+  FROM {src}
+),
+sgs_starts AS (
+  SELECT {id_col}, t,
+         u.s AS start_1b,
+         cast(row_number() OVER (PARTITION BY {id_col} ORDER BY u.s) - 1
+              AS int) AS chunk_idx
+  FROM sgs_tok
+  CROSS JOIN LATERAL (
+    SELECT unnest(range(1,
+      least(greatest(len(t) - {chunk_tokens}, 0) + {stride}, len(t)) + 1,
+      {stride})) AS s
+  ) u
+  WHERE len(t) > 0
+)
+SELECT {id_col}, chunk_idx,
+       cast(start_1b - 1 AS int) AS start_tok,
+       cast(len(list_slice(t, start_1b, start_1b + {chunk_tokens} - 1))
+            AS int) AS n_tok,
+       array_to_string(list_slice(t, start_1b, start_1b + {chunk_tokens} - 1),
+                       ' ') AS chunk_text
+FROM sgs_starts"""

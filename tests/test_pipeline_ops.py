@@ -1257,3 +1257,38 @@ def test_rebalanced_sample_invariants(spark):
     # partition invariance
     out2 = rebalanced_sample(df.repartition(13), ["lang"]).toPandas()
     assert set(out["doc_id"]) == set(out2["doc_id"])
+
+
+def test_chunk_documents_grid_and_coverage(spark):
+    """Chunk-grid semantics: every token lands in >=1 chunk when
+    stride <= chunk; the tail chunk is the remainder; no fully-redundant
+    trailing window; exact grids on hand-sized docs."""
+    from sketches_go_spark.operators.packing import chunk_documents
+
+    mk = lambda n: " ".join(f"w{i}" for i in range(n))
+    df = spark.createDataFrame(
+        [(64, mk(64)), (65, mk(65)), (80, mk(80)), (112, mk(112)),
+         (113, mk(113)), (10, mk(10))],
+        "doc_id bigint, text string",
+    )
+    out = chunk_documents(df, chunk_tokens=64, stride=48).toPandas()
+    grids = {
+        d: sorted(zip(g["start_tok"], g["n_tok"]))
+        for d, g in out.groupby("doc_id")
+    }
+    assert grids[10] == [(0, 10)]
+    assert grids[64] == [(0, 64)]
+    assert grids[65] == [(0, 64), (48, 17)]
+    assert grids[80] == [(0, 64), (48, 32)]
+    # start 96 would be fully inside [48, 112) -> not emitted
+    assert grids[112] == [(0, 64), (48, 64)]
+    assert grids[113] == [(0, 64), (48, 64), (96, 17)]
+    # coverage: union of [start, start+n_tok) == [0, n)
+    for d, g in out.groupby("doc_id"):
+        covered = set()
+        for r in g.itertuples():
+            covered.update(range(r.start_tok, r.start_tok + r.n_tok))
+        assert covered == set(range(int(d))), d
+    # chunk text round-trips the token slice
+    row = out[(out["doc_id"] == 65) & (out["chunk_idx"] == 1)].iloc[0]
+    assert row["chunk_text"] == " ".join(f"w{i}" for i in range(48, 65))
