@@ -316,11 +316,14 @@ def main() -> None:
         "text_winnow_containment",
         "kmeans_assign_embeddings",
         "funnel_signup_click_purchase",
-        # round-4 additions: regexp scrub, tf-idf, packing, nearest-asof
+        # round-4 additions: regexp scrub, tf-idf, packing, nearest-asof,
+        # RAG chunking, group rebalancing
         "text_redact_pii",
         "text_tfidf_top_terms",
         "pack_sequences_documents",
         "asof_nearest_purchase_click",
+        "chunk_documents",
+        "sample_rebalance_by_lang",
     ):
         best, steal = timed(lambda: qfns[name](spark, SF_DIR), 2)
         pipeline_timings[name] = round(best, 3)
