@@ -1308,6 +1308,79 @@ def q_streaming_hll_sliding_distinct(spark: SparkSession, sf_dir: str) -> DataFr
     ).orderBy("day_i", "event_type")
 
 
+_APPEND_CUTOFF = "2024-01-16 00:00:00"
+
+
+def q_streaming_append_daily_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time watermarked windowing in APPEND mode — the canonical
+    Structured Streaming late-data shape: daily windows finalize (emit
+    once, state evicted) when the watermark passes their end; the
+    inside-watermark tail stays withheld.  Events are staged as two
+    time-ordered micro-batches (watermark advances between them);
+    availableNow flushes once more after the last data batch, so the
+    emitted set is exactly the windows with end <= max(ts) - 1 day — a
+    deterministic, SQL-expressible rule the oracle replays (windows with
+    day + 2 days <= max(ts); the final 2 days are provably withheld)."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+    import time as _time
+
+    from sketches_go_spark.streaming.stream_agg import streaming_bins
+
+    src_file = f"{sf_dir}/events.parquet"
+    stage = "/tmp/sgs_stream_append_" + hashlib.md5(src_file.encode()).hexdigest()[:8]
+    if not os.path.exists(os.path.join(stage, "_STAGED")):
+        shutil.rmtree(stage, ignore_errors=True)
+        ev = spark.read.parquet(src_file)
+        c = F.lit(_APPEND_CUTOFF).cast("timestamp")
+        ev.where(F.col("ts") < c).coalesce(1).write.mode("append").parquet(stage)
+        _time.sleep(0.2)  # distinct mtimes: the file source orders batches by them
+        ev.where(F.col("ts") >= c).coalesce(1).write.mode("append").parquet(stage)
+        with open(os.path.join(stage, "_STAGED"), "w") as f:
+            f.write("ok")
+    schema = spark.read.parquet(src_file).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+    # watermarks require TIMESTAMP (not NTZ); the session tz is UTC so the
+    # cast preserves wall-clock day boundaries
+    src = stream.select(
+        F.col("ts").cast("timestamp").alias("ts"),
+        "event_type",
+        F.col("value").cast("double").alias("v"),
+    )
+    bins = streaming_bins(
+        src, "v", ["event_type"], CFG,
+        time_col="ts", window="1 day", watermark="1 day",
+    )
+    _STREAM_COUNTER[0] += 1
+    name = f"sgs_stream_append_{_STREAM_COUNTER[0]}"
+    ckpt = tempfile.mkdtemp(prefix="sgs_append_ckpt_")
+    q = (
+        bins.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    q.awaitTermination(300)
+    res = spark.table(name).select(
+        F.substring(F.col("window.start").cast("string"), 1, 10).alias("day"),
+        "event_type",
+        "sign",
+        "bucket",
+        "count",
+    )
+    return dd.quantiles_from_bins(
+        res, ["day", "event_type"], (0.5, 0.95), CFG
+    ).orderBy("day", "event_type", "q")
+
+
 def q_streaming_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming exact dedup (axis B): documents arrive as a file stream;
     the canonical-per-fingerprint relation is maintained as a streaming
@@ -1953,6 +2026,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ddsketch_outlier_rate": q_ddsketch_outlier_rate,
         "sample_rebalance_by_lang": q_sample_rebalance_by_lang,
         "chunk_documents": q_chunk_documents,
+        "streaming_append_daily_quantiles": q_streaming_append_daily_quantiles,
         "ddsketch_quantiles_value_by_event_type": q_ddsketch_quantiles_value_by_event_type,
         "ddsketch_linear_quantiles_by_event_type": q_ddsketch_linear_quantiles,
         "ddsketch_cubic_quantiles_by_event_type": q_ddsketch_cubic_quantiles,
@@ -2680,6 +2754,17 @@ SELECT 3, 'purchase', n3,
        CASE WHEN n1 = 0 THEN 0.0
             ELSE round(n3 / cast(n1 AS double), 6) END FROM sgs_n
 ORDER BY step""",
+        # append-mode finalization: availableNow flushes once more after the
+        # last data batch, so the emitted set is exactly the windows whose
+        # end the FINAL watermark passed — day + 2 days <= max(ts)
+        "streaming_append_daily_quantiles": oracles.ddsketch_quantiles_sql(
+            "SELECT substr(cast(ts AS string), 1, 10) AS day, event_type,"
+            " cast(value AS double) AS v FROM events"
+            " WHERE cast(substr(cast(ts AS string), 1, 10) AS timestamp)"
+            " + INTERVAL 2 DAY <= (SELECT max(ts) FROM events)",
+            ["day", "event_type"], (0.5, 0.95), CFG,
+            order_by="day, event_type, q",
+        ),
         # nearest = pick-closer over the backward/forward lateral argmins,
         # identical tie rules to the one-pass window formulation
         "asof_nearest_purchase_click": """
