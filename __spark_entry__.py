@@ -561,6 +561,28 @@ def q_ddsketch_psi_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["day", "event_type"], ["event_type"],
     )
     return dd.bins_psi(a, b, ["event_type"]).orderBy("event_type")
+def q_ddsketch_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov drift between the same two periods the
+    PSI query scores — the max CDF gap at any bucket boundary, computed
+    entirely from the day cube (functions/ddsketch_fns.py::bins_ks).  The
+    location-sensitive complement of PSI's mass-ratio view."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        F.substring(F.col("ts").cast("string"), 1, 10).alias("day"),
+        "event_type",
+        F.col("value").cast("double").alias("v"),
+    )
+    cube = dd.build_bins(ev, "v", ["day", "event_type"], CFG)
+    a = dd.rollup_bins(
+        cube.where((F.col("day") >= _CUBE_LO) & (F.col("day") <= _CUBE_HI)),
+        ["day", "event_type"], ["event_type"],
+    )
+    b = dd.rollup_bins(
+        cube.where((F.col("day") >= _PSI_B_LO) & (F.col("day") <= _PSI_B_HI)),
+        ["day", "event_type"], ["event_type"],
+    )
+    return dd.bins_ks(a, b, ["event_type"]).orderBy("event_type")
+
+
 _SESSION_GAP_US = 3_600_000_000  # 1 hour in micros
 
 
@@ -2027,6 +2049,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_rebalance_by_lang": q_sample_rebalance_by_lang,
         "chunk_documents": q_chunk_documents,
         "streaming_append_daily_quantiles": q_streaming_append_daily_quantiles,
+        "ddsketch_ks_drift": q_ddsketch_ks_drift,
         "ddsketch_quantiles_value_by_event_type": q_ddsketch_quantiles_value_by_event_type,
         "ddsketch_linear_quantiles_by_event_type": q_ddsketch_linear_quantiles,
         "ddsketch_cubic_quantiles_by_event_type": q_ddsketch_cubic_quantiles,
@@ -2440,6 +2463,53 @@ SELECT e.event_type, count(*) AS n,
              / cast(count(*) AS double), 6) AS outlier_rate
 FROM events e JOIN sgs_thr t USING (event_type)
 GROUP BY e.event_type ORDER BY e.event_type"""
+        ),
+        # KS replay: same two periods, value-ordered CDF walk, max gap
+        "ddsketch_ks_drift": (
+            "WITH sgs_a AS (WITH "
+            + oracles.ddsketch_bins_sql(
+                "SELECT event_type, cast(value AS double) AS v FROM events "
+                f"WHERE substr(cast(ts AS string), 1, 10) >= '{_CUBE_LO}' "
+                f"AND substr(cast(ts AS string), 1, 10) <= '{_CUBE_HI}'",
+                ["event_type"], CFG,
+            )
+            + " SELECT event_type, sign, bucket, count FROM sgs_bins),\n"
+            + "sgs_b2 AS (WITH "
+            + oracles.ddsketch_bins_sql(
+                "SELECT event_type, cast(value AS double) AS v FROM events "
+                f"WHERE substr(cast(ts AS string), 1, 10) >= '{_PSI_B_LO}' "
+                f"AND substr(cast(ts AS string), 1, 10) <= '{_PSI_B_HI}'",
+                ["event_type"], CFG,
+            )
+            + " SELECT event_type, sign, bucket, count FROM sgs_bins),\n"
+            + """sgs_fa AS (
+  SELECT event_type, sign, bucket,
+         count / sum(count) OVER (PARTITION BY event_type) AS fa
+  FROM sgs_a
+),
+sgs_fb AS (
+  SELECT event_type, sign, bucket,
+         count / sum(count) OVER (PARTITION BY event_type) AS fb
+  FROM sgs_b2
+),
+sgs_j AS (
+  SELECT coalesce(a.event_type, b.event_type) AS event_type,
+         coalesce(a.sign, b.sign) AS sign,
+         coalesce(a.bucket, b.bucket) AS bucket,
+         coalesce(a.fa, 0.0) AS fa, coalesce(b.fb, 0.0) AS fb
+  FROM sgs_fa a
+  FULL OUTER JOIN sgs_fb b
+    ON a.event_type = b.event_type AND a.sign = b.sign AND a.bucket = b.bucket
+),
+sgs_cdf AS (
+  SELECT event_type,
+         abs(sum(fa) OVER w - sum(fb) OVER w) AS gap
+  FROM sgs_j
+  WINDOW w AS (PARTITION BY event_type ORDER BY sign ASC, sign * bucket ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT event_type, round(max(gap), 6) AS ks
+FROM sgs_cdf GROUP BY event_type ORDER BY event_type"""
         ),
         # PSI replay: two range-filtered bins builds, normalized, joined
         "ddsketch_psi_value_drift": (

@@ -828,6 +828,51 @@ def bins_psi(
     )
 
 
+def bins_ks(
+    bins_a: DataFrame,
+    bins_b: DataFrame,
+    keys: Sequence[str],
+    decimals: int = 6,
+) -> DataFrame:
+    """(keys..., ks:double): two-sample Kolmogorov–Smirnov statistic between
+    two bins relations over the same mapping — the max absolute CDF gap at
+    any bucket boundary, the location-sensitive drift score PSI's
+    mass-ratio view misses (PSI saturates on disjoint supports; KS tells
+    you WHERE the distributions diverge is bounded by how much).
+
+    Buckets are walked in VALUE order — ``(sign asc, sign*bucket asc)``:
+    within sign=-1 a larger bucket index is a more negative value, so the
+    composite key linearizes negatives/zero/positives correctly.  One
+    full-outer join of the two cubes + one window cumsum — O(cube), raw
+    data never rescanned, and the fixed walk order makes the float
+    accumulation bit-reproducible cross-engine."""
+    def _norm(df: DataFrame, out: str) -> DataFrame:
+        w = Window.partitionBy(*keys)
+        return df.select(
+            *keys, "sign", "bucket",
+            (F.col("count") / F.sum("count").over(w)).alias(out),
+        )
+
+    a = _norm(bins_a, "fa")
+    b = _norm(bins_b, "fb")
+    j = a.join(b, [*keys, "sign", "bucket"], "full_outer").select(
+        *keys, "sign", "bucket",
+        F.coalesce("fa", F.lit(0.0)).alias("fa"),
+        F.coalesce("fb", F.lit(0.0)).alias("fb"),
+    )
+    worder = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col("sign").asc(), (F.col("sign") * F.col("bucket")).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    gap = F.abs(F.sum("fa").over(worder) - F.sum("fb").over(worder))
+    return (
+        j.withColumn("_gap", gap)
+        .groupBy(*keys)
+        .agg(F.round(F.max("_gap"), decimals).alias("ks"))
+    )
+
+
 def reweight_bins(bins: DataFrame, w: float) -> DataFrame:
     """Scale every count by w > 0 — distribution-invariant
     (ddsketch.go:514-529)."""

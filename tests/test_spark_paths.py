@@ -283,3 +283,48 @@ def test_bins_psi_identity_and_shift(spark):
     diff = dd.bins_psi(ba, bb, ["g"]).collect()[0]["psi"]
     assert same == 0.0
     assert diff > 1.0, diff  # 10x scale shift is a major-drift PSI
+
+
+def test_bins_ks_identity_shift_and_exact_agreement(spark):
+    """KS from bins: KS(X,X)=0; a pure location scaling of a uniform grid
+    gives a large max-CDF gap, bounded by 1; and on overlapping samples the
+    bins-level KS agrees with the exact empirical two-sample KS within the
+    bucket resolution (one alpha-wide bucket of mass)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from sketches_go_spark.core.ddsketch import DDSketchConfig
+    from sketches_go_spark.functions import ddsketch_fns as dd
+
+    cfg = DDSketchConfig(alpha=0.01)
+    base = spark.range(0, 20000).select(
+        F.lit("g").alias("g"), ((F.col("id") % 1000) + 1).cast("double").alias("v")
+    )
+    shifted = spark.range(0, 20000).select(
+        F.lit("g").alias("g"),
+        (((F.col("id") % 1000) + 1) * 10.0).cast("double").alias("v"),
+    )
+    ba = dd.build_bins(base, "v", ["g"], cfg)
+    bb = dd.build_bins(shifted, "v", ["g"], cfg)
+    assert dd.bins_ks(ba, ba, ["g"]).collect()[0]["ks"] == 0.0
+    big = dd.bins_ks(ba, bb, ["g"]).collect()[0]["ks"]
+    # CDFs only overlap on [10, 1000]: gap is large but below 1
+    assert 0.5 < big <= 1.0, big
+
+    rng = np.random.default_rng(7)
+    xa = rng.lognormal(2.0, 1.0, 30000)
+    xb = rng.lognormal(2.2, 1.0, 30000)  # modest location shift
+    da = spark.createDataFrame(pd.DataFrame({"g": "g", "v": xa}))
+    db = spark.createDataFrame(pd.DataFrame({"g": "g", "v": xb}))
+    ks_bins = dd.bins_ks(
+        dd.build_bins(da, "v", ["g"], cfg),
+        dd.build_bins(db, "v", ["g"], cfg),
+        ["g"],
+    ).collect()[0]["ks"]
+    # exact empirical two-sample KS
+    allv = np.sort(np.concatenate([xa, xb]))
+    cdf_a = np.searchsorted(np.sort(xa), allv, side="right") / len(xa)
+    cdf_b = np.searchsorted(np.sort(xb), allv, side="right") / len(xb)
+    ks_exact = float(np.max(np.abs(cdf_a - cdf_b)))
+    assert abs(ks_bins - ks_exact) < 0.01, (ks_bins, ks_exact)
