@@ -386,13 +386,19 @@ def q_source_csv_textlen_by_role(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = transcripts_from_events(spark, sf_dir)
     stage = "/tmp/sgs_csv_src_v1_" + hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    # reuse only a COMPLETE stage (Spark's _SUCCESS marker); a partial dir
-    # from a crashed writer is rebuilt via write-to-temp + atomic rename so
-    # truncated data can never feed the correctness gate
-    if not os.path.exists(os.path.join(stage, "_SUCCESS")):
+    # reuse only a COMPLETE (Spark _SUCCESS) and FRESH (source-fingerprint
+    # marker) stage; a partial dir from a crashed writer is rebuilt via
+    # write-to-temp + atomic rename so truncated data can never feed the
+    # correctness gate, and a regenerated events.parquet restages
+    src_fp = _src_fingerprint(f"{sf_dir}/events.parquet")
+    if not (
+        os.path.exists(os.path.join(stage, "_SUCCESS"))
+        and _stage_is_fresh(stage, "_FRESH", src_fp)
+    ):
         tmp = f"{stage}.tmp-{os.getpid()}"
         shutil.rmtree(tmp, ignore_errors=True)
         write_transcripts(t, tmp, fmt="csv")
+        _write_stage_marker(tmp, "_FRESH", src_fp)
         shutil.rmtree(stage, ignore_errors=True)
         os.replace(tmp, stage)
     back = read_transcripts(spark, stage, fmt="csv")
@@ -1095,6 +1101,36 @@ def q_tdigest_latency_by_role(spark: SparkSession, sf_dir: str) -> DataFrame:
 _STREAM_COUNTER = [0]
 
 
+def _src_fingerprint(*paths: str) -> str:
+    """Content fingerprint (size + mtime_ns) of the file(s) a staged copy
+    was derived from.  Stage-reuse markers store this so a REGENERATED
+    source at the same path restages instead of silently feeding stale
+    data to the correctness gate (completeness and freshness are separate
+    properties; _SUCCESS-style markers only give the former)."""
+    import os
+
+    return "|".join(
+        f"{os.path.getsize(p)}:{os.stat(p).st_mtime_ns}" for p in paths
+    )
+
+
+def _stage_is_fresh(stage: str, marker: str, fp: str) -> bool:
+    import os
+
+    mp = os.path.join(stage, marker)
+    if not os.path.exists(mp):
+        return False
+    with open(mp) as f:
+        return f.read().strip() == fp
+
+
+def _write_stage_marker(stage: str, marker: str, fp: str) -> None:
+    import os
+
+    with open(os.path.join(stage, marker), "w") as f:
+        f.write(fp)
+
+
 def _staged_events_stream(spark: SparkSession, sf_dir: str):
     """File-source stream over the events table: the file stream source
     requires a directory, so stage the single parquet file into a
@@ -1106,9 +1142,12 @@ def _staged_events_stream(spark: SparkSession, sf_dir: str):
 
     src_file = f"{sf_dir}/events.parquet"
     stage = "/tmp/sgs_stream_src_" + hashlib.md5(src_file.encode()).hexdigest()[:8]
-    if not os.path.exists(os.path.join(stage, "events.parquet")):
+    fp = _src_fingerprint(src_file)
+    if not _stage_is_fresh(stage, "_FRESH", fp):
+        shutil.rmtree(stage, ignore_errors=True)
         os.makedirs(stage, exist_ok=True)
         shutil.copy(src_file, os.path.join(stage, "events.parquet"))
+        _write_stage_marker(stage, "_FRESH", fp)
     batch_schema = spark.read.parquet(src_file).schema
     return spark.readStream.schema(batch_schema).parquet(stage)
 
@@ -1343,6 +1382,7 @@ def q_streaming_append_daily_quantiles(spark: SparkSession, sf_dir: str) -> Data
     emitted set is exactly the windows with end <= max(ts) - 1 day — a
     deterministic, SQL-expressible rule the oracle replays (windows with
     day + 2 days <= max(ts); the final 2 days are provably withheld)."""
+    import glob
     import hashlib
     import os
     import shutil
@@ -1353,15 +1393,25 @@ def q_streaming_append_daily_quantiles(spark: SparkSession, sf_dir: str) -> Data
 
     src_file = f"{sf_dir}/events.parquet"
     stage = "/tmp/sgs_stream_append_" + hashlib.md5(src_file.encode()).hexdigest()[:8]
-    if not os.path.exists(os.path.join(stage, "_STAGED")):
+    src_fp = _src_fingerprint(src_file)
+    if not _stage_is_fresh(stage, "_STAGED", src_fp):
         shutil.rmtree(stage, ignore_errors=True)
         ev = spark.read.parquet(src_file)
         c = F.lit(_APPEND_CUTOFF).cast("timestamp")
         ev.where(F.col("ts") < c).coalesce(1).write.mode("append").parquet(stage)
-        _time.sleep(0.2)  # distinct mtimes: the file source orders batches by them
+        batch1 = set(glob.glob(os.path.join(stage, "*.parquet")))
         ev.where(F.col("ts") >= c).coalesce(1).write.mode("append").parquet(stage)
-        with open(os.path.join(stage, "_STAGED"), "w") as f:
-            f.write("ok")
+        batch2 = set(glob.glob(os.path.join(stage, "*.parquet"))) - batch1
+        # the file source orders micro-batches by mtime; set them EXPLICITLY
+        # (t and t+60) so coarse-granularity filesystems can't tie the two
+        # part files and flip the watermark progression
+        t0 = _time.time()
+        for p in batch1:
+            os.utime(p, (t0, t0))
+        for p in batch2:
+            os.utime(p, (t0 + 60, t0 + 60))
+        assert batch1 and batch2, "append stage must produce two micro-batches"
+        _write_stage_marker(stage, "_STAGED", src_fp)
     schema = spark.read.parquet(src_file).schema
     stream = (
         spark.readStream.schema(schema)
@@ -1416,9 +1466,12 @@ def q_streaming_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     src_file = f"{sf_dir}/documents.parquet"
     stage = "/tmp/sgs_stream_docs_" + hashlib.md5(src_file.encode()).hexdigest()[:8]
-    if not os.path.exists(os.path.join(stage, "documents.parquet")):
+    fp = _src_fingerprint(src_file)
+    if not _stage_is_fresh(stage, "_FRESH", fp):
+        shutil.rmtree(stage, ignore_errors=True)
         os.makedirs(stage, exist_ok=True)
         shutil.copy(src_file, os.path.join(stage, "documents.parquet"))
+        _write_stage_marker(stage, "_FRESH", fp)
     schema = spark.read.parquet(src_file).schema
     stream = spark.readStream.schema(schema).parquet(stage)
     fp = stream.select(

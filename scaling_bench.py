@@ -237,6 +237,13 @@ def main() -> None:
                     help="don't append the result table to BASELINE.md")
     args = ap.parse_args()
 
+    if args.job == "components" and args.turns <= 65_535:
+        ap.error(
+            "--job components needs --turns > 65535: the graph is "
+            "(turns - 65535) chain-cluster edges plus one 65,535-edge "
+            "adversarial chain, so smaller --turns would make the "
+            "cluster-edge count negative"
+        )
     cache = "" if args.job == "components" else materialize(args.turns)
     if args.job == "skew":
         unsalted = measure(args.high, cache, args.turns, args.reps, "skew_unsalted")

@@ -160,8 +160,11 @@ def chunk_documents(
     if chunk_tokens <= 0 or stride <= 0:
         raise ValueError("chunk_tokens and stride must be positive")
     toks = F.split(F.lower(F.trim(_col(text_col))), " ")
-    d = df.select(_col(id_col).alias(id_col), toks.alias("_t"))
-    d = d.where(F.size("_t") > 0)
+    # split("") returns [""], so size(_t) > 0 alone never skips empty docs;
+    # gate on trimmed text length (mirrored in chunk_documents_sql).
+    d = df.where(F.length(F.trim(_col(text_col))) > 0).select(
+        _col(id_col).alias(id_col), toks.alias("_t")
+    )
     n = F.size("_t")
     bound = F.least(
         F.greatest(n - F.lit(chunk_tokens), F.lit(0)) + F.lit(stride), n
@@ -192,6 +195,7 @@ def chunk_documents_sql(
     return f"""WITH sgs_tok AS (
   SELECT {id_col}, string_split(lower(trim({text_col})), ' ') AS t
   FROM {src}
+  WHERE len(trim({text_col})) > 0
 ),
 sgs_starts AS (
   SELECT {id_col}, t,

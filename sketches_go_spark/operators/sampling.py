@@ -140,6 +140,13 @@ def rebalanced_sample(
     keep subsets), and entity-aligned across tables like all hash sampling.
     Integer thresholds use floor (not round) so every engine agrees at the
     boundary."""
+    reserved = {"_n", "_tgt", "_thr"} & set(df.columns)
+    if reserved:
+        raise ValueError(
+            "df must not carry columns named "
+            + ", ".join(sorted(reserved))
+            + " (reserved for rebalanced_sample's per-group threshold join)"
+        )
     hash_fn = hash_fn or portable_hash64
     counts = df.groupBy(*group_cols).agg(F.count(F.lit(1)).alias("_n"))
     if target is None:
