@@ -1784,6 +1784,72 @@ def q_dedup_canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_incremental_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL corpus-delta dedup — the most common real operation on a
+    growing corpus: a NEW shard (~20% of docs by deterministic hash split)
+    is deduplicated against a PERSISTED fingerprint index + component state
+    without recomputing the base corpus.  The staged warehouse (built once
+    per source fingerprint) holds the base (doc_id, simhash) relation and
+    the base (node, component) assignment; the measured query computes
+    fingerprints for the shard only, generates shard<->shard and
+    shard<->base candidate pairs against the stored index
+    (dedup.simhash_delta_pairs — never base<->base), and merges the new
+    edges into the saved component star (dedup.incremental_components).
+
+    The result hash-matches the FULL-RECOMPUTE oracle over the union corpus
+    (same recursive-CTE closure as dedup_components) — that equality IS the
+    correctness claim: indexing a shard against the warehouse gives the
+    same answer as re-deduplicating everything, at O(shard) cost.
+
+    Scale shape: the stored index is one bigint per base doc (partition-
+    prunable parquet); only (bigint, bigint) pairs shuffle in the merge; a
+    shard doc that bridges two base components merges them through the
+    stored stars."""
+    import hashlib
+    import os
+    import shutil
+
+    docs = _docs(spark, sf_dir)
+    is_shard = (
+        F.pmod(F.xxhash64(F.col("doc_id"), F.lit("shardsplit")), F.lit(5)) == 4
+    )
+
+    stage = "/tmp/sgs_incdedup_" + hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    src_fp = _src_fingerprint(f"{sf_dir}/documents.parquet")
+    if not _stage_is_fresh(stage, "_STAGED", src_fp):
+        shutil.rmtree(stage, ignore_errors=True)
+        os.makedirs(stage, exist_ok=True)
+        base = docs.where(~is_shard)
+        sig_base = dedup.simhash(base, bits=60)
+        sig_base.write.mode("overwrite").parquet(os.path.join(stage, "sig"))
+        sig_back = spark.read.parquet(os.path.join(stage, "sig"))
+        base_pairs = dedup.pigeonhole_hamming_pairs(
+            sig_back.withColumn("_blk", F.lit(0)), "doc_id", "simhash", 60, 3
+        )
+        dedup.connected_components(base_pairs).write.mode("overwrite").parquet(
+            os.path.join(stage, "assignment")
+        )
+        _write_stage_marker(stage, "_STAGED", src_fp)
+
+    sig_base = spark.read.parquet(os.path.join(stage, "sig"))
+    assignment = spark.read.parquet(os.path.join(stage, "assignment"))
+    shard = docs.where(is_shard)
+    sig_shard = dedup.simhash(shard, bits=60)
+    delta = dedup.simhash_delta_pairs(
+        sig_base, sig_shard, bits=60, max_hamming=3
+    )
+    comp = dedup.incremental_components(assignment, delta).withColumnRenamed(
+        "node", "doc_id"
+    )
+    lab = docs.select("doc_id").join(comp, "doc_id", "left").select(
+        "doc_id", F.coalesce("component", "doc_id").alias("component")
+    )
+    w = Window.partitionBy("component")
+    return lab.select(
+        "doc_id", "component", F.count(F.lit(1)).over(w).alias("csize")
+    ).orderBy("doc_id")
+
+
 def q_sample_split_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic train/val/test split (98/1/1 by hash bucket) plus
     membership of the independent 10% deterministic sample — reproducible
@@ -2064,6 +2130,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_winnow_fingerprints": q_text_winnow_fingerprints,
         "text_winnow_containment": q_text_winnow_containment,
         "dedup_components": q_dedup_components,
+        "dedup_incremental_shard": q_dedup_incremental_shard,
         "embedding_components": q_embedding_components,
         "sample_split_documents": q_sample_split_documents,
         "sample_stratified_by_lang": q_sample_stratified_by_lang,
@@ -2935,6 +3002,9 @@ ORDER BY l.event_id""",
         "dedup_simhash_pairs": opl.simhash_pairs_oracle(max_hamming=1),
         "dedup_simhash_pairs_global": opl.simhash_pairs_global_oracle(max_hamming=3),
         "dedup_components": opl.components_oracle(max_hamming=3),
+        # the incremental query must equal the FULL recompute on the union
+        # corpus — same closure oracle as dedup_components by design
+        "dedup_incremental_shard": opl.components_oracle(max_hamming=3),
         "dedup_canonical_docs": opl.canonical_docs_oracle(max_hamming=3),
         "text_winnow_containment": opl.winnow_containment_oracle(threshold=0.5),
         "sample_split_documents": opl.sample_split_oracle(rate=0.1),

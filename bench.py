@@ -27,6 +27,11 @@ SYNTH_TURNS = int(os.environ.get("SGS_BENCH_SYNTH_TURNS", "10000000"))
 # overhead-dominated and understate scaling
 SCALING = os.environ.get("SGS_BENCH_SCALING", "1") == "1"
 SCALING_TURNS = int(os.environ.get("SGS_BENCH_SCALING_TURNS", "100000000"))
+# steal gate (round-5 verdict): a recorded stage whose best attempt saw more
+# hypervisor steal than this gets extra attempts, so round-over-round deltas
+# aren't contaminated-by-the-neighbor noise
+STEAL_GATE_PCT = float(os.environ.get("SGS_BENCH_STEAL_GATE", "2.0"))
+STEAL_GATE_EXTRA_RUNS = int(os.environ.get("SGS_BENCH_STEAL_EXTRA", "2"))
 
 
 def _prev_bench() -> dict:
@@ -145,9 +150,15 @@ def main() -> None:
     def timed(mk, n_runs: int) -> tuple[float, float]:
         """min-of-N with a per-attempt /proc/stat steal sample; records the
         steal%% observed during the BEST attempt (the quiet-window minimum —
-        interference only ever slows a run down)."""
+        interference only ever slows a run down).  STEAL-GATED: if the best
+        attempt itself was contaminated (> STEAL_GATE_PCT), up to
+        STEAL_GATE_EXTRA_RUNS more attempts run so the recorded minimum gets
+        a chance at a quiet window; a still-contaminated record keeps its
+        steal tag so readers can discount it."""
         best, best_steal = float("inf"), 0.0
-        for _ in range(n_runs):
+        attempts = 0
+        while True:
+            attempts += 1
             j0, s0 = _ticks()
             t0 = time.perf_counter()
             run(mk())
@@ -156,7 +167,11 @@ def main() -> None:
             if dt < best:
                 best = dt
                 best_steal = 100.0 * (s1 - s0) / max(j1 - j0, 1)
-        return best, round(best_steal, 2)
+            if attempts >= n_runs and (
+                best_steal <= STEAL_GATE_PCT
+                or attempts >= n_runs + STEAL_GATE_EXTRA_RUNS
+            ):
+                return best, round(best_steal, 2)
 
     # warm-up (JVM + Arrow + Python workers — the UDAF query forks the
     # python worker pool, which otherwise bills its cold start to the first
@@ -344,26 +359,68 @@ def main() -> None:
             if name in prev["queries"]
         }
 
-    print(
-        json.dumps(
-            {
-                "metric": "headline sketch queries best-case time (sum of per-query minima)",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "steal_pct": steal_tags,
-                "pipeline": pipeline_timings,
-                "pipeline_steal_pct": pipeline_steal,
-                "sf": SF_DIR.rstrip("/").split("sf")[-1],
-                "turns_per_sec": round(turns_per_sec),
-                "synth_turns": SYNTH_TURNS,
-                "cpus": CPUS,
-                "delta_vs_prev_round": delta_vs_prev,
-                "prev_round": prev.get("round"),
-                "scaling": scaling,
-            }
-        )
-    )
+    full = {
+        "metric": "headline sketch queries best-case time (sum of per-query minima)",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "steal_pct": steal_tags,
+        "pipeline": pipeline_timings,
+        "pipeline_steal_pct": pipeline_steal,
+        "sf": SF_DIR.rstrip("/").split("sf")[-1],
+        "turns_per_sec": round(turns_per_sec),
+        "synth_turns": SYNTH_TURNS,
+        "cpus": CPUS,
+        "delta_vs_prev_round": delta_vs_prev,
+        "prev_round": prev.get("round"),
+        "scaling": scaling,
+    }
+    # full record goes to a repo-local file (humans, git history); stdout's
+    # LAST line is a COMPACT record that stays under the driver's 2000-char
+    # capture so BENCH_r{N}.json gets parsed != null (r3/r4 were truncated)
+    here = os.path.dirname(os.path.abspath(__file__))
+    with open(os.path.join(here, "BENCH_local_full.json"), "w") as f:
+        json.dump(full, f, indent=1)
+    all_queries = {**timings, **pipeline_timings}
+    hot_steal = {
+        k: round(v)
+        for k, v in {**steal_tags, **pipeline_steal}.items()
+        if v > STEAL_GATE_PCT
+    }
+    compact_scaling = None
+    if scaling:
+        compact_scaling = {
+            k: scaling[k]
+            for k in (
+                "turns",
+                "local8_turns_per_sec",
+                "local32_turns_per_sec",
+                "speedup_8_to_32",
+                "efficiency",
+                "local8_steal_pct",
+                "local32_steal_pct",
+            )
+        }
+    compact = {
+        "metric": "headline sketch queries best-case time",
+        "value": total,
+        "unit": "sec",
+        "sf": full["sf"],
+        "cpus": CPUS,
+        "turns_per_sec": full["turns_per_sec"],
+        "queries": all_queries,
+        "steal_gt_gate_pct": hot_steal,
+        "scaling": compact_scaling,
+    }
+    line = json.dumps(compact, separators=(",", ":"))
+    if len(line) > 1950:
+        # drop per-query detail before the headline ever truncates
+        compact["queries"] = {
+            k: v for k, v in sorted(all_queries.items(), key=lambda kv: -kv[1])[:20]
+        }
+        compact["queries_note"] = "top-20 by time; full set in BENCH_local_full.json"
+        line = json.dumps(compact, separators=(",", ":"))
+    print(line)
 
 
 if __name__ == "__main__":

@@ -325,18 +325,14 @@ def simhash_pairs(
     return pigeonhole_hamming_pairs(sig, id_col, "simhash", bits, max_hamming)
 
 
-def pigeonhole_hamming_pairs(
-    sig: DataFrame,
-    id_col: str,
-    sig_col: str,
-    bits: int,
-    max_hamming: int,
+def _segment_keyed(
+    sig: DataFrame, id_col: str, sig_col: str, bits: int, nseg: int
 ) -> DataFrame:
-    """Lossless hamming-distance self-join on a fingerprint relation
-    (id, sig_col, _blk): pigeonhole blocking on ``max_hamming + 1`` contiguous
-    segments, exact bit_count verification on candidates only.  Shared by
-    simhash_pairs and usable for any precomputed fingerprint column."""
-    nseg = max_hamming + 1
+    """(id, sig, _blk, seg, segval): the pigeonhole blocking keys — the
+    fingerprint split into ``nseg`` contiguous bit segments, one row per
+    segment.  A pair within hamming distance d < nseg must agree on at least
+    one whole segment (pigeonhole), so equi-joining on (seg, segval) is a
+    lossless candidate generator."""
     bounds = [round(i * bits / nseg) for i in range(nseg + 1)]
     segs = F.array(
         *[
@@ -349,7 +345,7 @@ def pigeonhole_hamming_pairs(
             for i in range(nseg)
         ]
     )
-    keyed = sig.select(
+    return sig.select(
         id_col, sig_col, "_blk", F.explode(segs).alias("sg")
     ).select(
         id_col,
@@ -358,6 +354,20 @@ def pigeonhole_hamming_pairs(
         F.col("sg.seg").alias("seg"),
         F.col("sg.segval").alias("segval"),
     )
+
+
+def pigeonhole_hamming_pairs(
+    sig: DataFrame,
+    id_col: str,
+    sig_col: str,
+    bits: int,
+    max_hamming: int,
+) -> DataFrame:
+    """Lossless hamming-distance self-join on a fingerprint relation
+    (id, sig_col, _blk): pigeonhole blocking on ``max_hamming + 1`` contiguous
+    segments, exact bit_count verification on candidates only.  Shared by
+    simhash_pairs and usable for any precomputed fingerprint column."""
+    keyed = _segment_keyed(sig, id_col, sig_col, bits, max_hamming + 1)
     a = keyed.select(
         F.col(id_col).alias("id_a"), F.col(sig_col).alias("sh_a"),
         "_blk", "seg", "segval",
@@ -379,6 +389,116 @@ def pigeonhole_hamming_pairs(
         .where(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+# ------------------------------------------------- incremental (corpus-delta)
+def simhash_delta_pairs(
+    stored_sig: DataFrame,
+    shard_sig: DataFrame,
+    id_col: str = "doc_id",
+    sig_col: str = "simhash",
+    bits: int = 60,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """(id_a, id_b, hamming): the NEW near-dup pairs a shard introduces
+    against a stored fingerprint index — shard<->shard and shard<->base
+    pairs, never base<->base (those are already folded into the stored
+    component state).  This is the corpus-delta dedup primitive: indexing a
+    new shard costs O(|shard| x bucket-occupancy), not a full-corpus
+    recompute.
+
+    Lossless by the same pigeonhole argument as
+    :func:`pigeonhole_hamming_pairs`: every pair within ``max_hamming`` that
+    touches the shard agrees with it on at least one whole segment, and the
+    join probes shard segments against (base ∪ shard) segments.  Segment
+    keys depend only on each doc's own fingerprint — NOT on corpus
+    membership — so the pair set this emits is exactly the full-recompute
+    pair set minus the base-internal pairs, which is why the merged result
+    hash-matches a from-scratch run (driver query dedup_incremental_shard).
+
+    Scale shape: the stored index is one bigint per doc; the join keys are
+    (seg, segval) with 2^(bits/(d+1)) values per segment, and the exact
+    hamming verification runs on candidates only.  Hamming is symmetric, so
+    normalizing (least, greatest) after the join dedups the shard<->shard
+    double-generation without losing pairs."""
+    base = stored_sig.select(
+        _col(id_col).alias(id_col), _col(sig_col).alias(sig_col)
+    ).withColumn("_blk", F.lit(0))
+    shard = shard_sig.select(
+        _col(id_col).alias(id_col), _col(sig_col).alias(sig_col)
+    ).withColumn("_blk", F.lit(0))
+    nseg = max_hamming + 1
+    probe = _segment_keyed(shard, id_col, sig_col, bits, nseg).select(
+        F.col(id_col).alias("id_a"),
+        F.col(sig_col).alias("sh_a"),
+        "_blk",
+        "seg",
+        "segval",
+    )
+    build = _segment_keyed(base.union(shard), id_col, sig_col, bits, nseg).select(
+        F.col(id_col).alias("id_b"),
+        F.col(sig_col).alias("sh_b"),
+        "_blk",
+        "seg",
+        "segval",
+    )
+    fwd = F.col("id_a") < F.col("id_b")
+    cand = (
+        probe.join(build, ["_blk", "seg", "segval"])
+        .where(F.col("id_a") != F.col("id_b"))
+        # normalize BOTH ids and sigs to (least, greatest) orientation so the
+        # shard<->shard double generation collapses under distinct
+        .select(
+            F.least("id_a", "id_b").alias("u"),
+            F.greatest("id_a", "id_b").alias("v"),
+            F.when(fwd, F.col("sh_a")).otherwise(F.col("sh_b")).alias("sh_u"),
+            F.when(fwd, F.col("sh_b")).otherwise(F.col("sh_a")).alias("sh_v"),
+        )
+        .distinct()
+        .select(
+            F.col("u").alias("id_a"),
+            F.col("v").alias("id_b"),
+            F.col("sh_u").alias("sh_a"),
+            F.col("sh_v").alias("sh_b"),
+        )
+    )
+    return (
+        cand.withColumn(
+            "hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+def incremental_components(
+    assignment: DataFrame,
+    delta_pairs: DataFrame,
+    node_col: str = "node",
+    component_col: str = "component",
+    **cc_kwargs,
+) -> DataFrame:
+    """Merge a STORED component assignment with the delta pairs a new shard
+    introduced: (node, component) for every node touched by either.
+
+    The stored (node, component) star is itself an edge relation that
+    exactly preserves the base graph's connectivity (every base component is
+    a star around its minimum id), so running connected components over
+    (star ∪ delta) yields the same labeling as a full recompute over the
+    union corpus — including the case where one shard doc MERGES two base
+    components (their two roots become connected through it), at the cost of
+    the delta graph instead of the corpus graph.  Labels stay canonical
+    (minimum reachable id) because the base roots ARE the base minima and
+    every base node is present in the star."""
+    star = assignment.where(
+        _col(node_col) != _col(component_col)
+    ).select(
+        _col(node_col).alias("id_a"), _col(component_col).alias("id_b")
+    )
+    # singleton base nodes (self-labeled) carry no edge; they re-enter via
+    # delta pairs if the shard touches them, else stay singletons
+    edges = star.union(delta_pairs.select("id_a", "id_b"))
+    return connected_components(edges, **cc_kwargs)
 
 
 # ------------------------------------------------------- connected components

@@ -1292,3 +1292,75 @@ def test_chunk_documents_grid_and_coverage(spark):
     # chunk text round-trips the token slice
     row = out[(out["doc_id"] == 65) & (out["chunk_idx"] == 1)].iloc[0]
     assert row["chunk_text"] == " ".join(f"w{i}" for i in range(48, 65))
+
+
+def test_incremental_dedup_matches_full_recompute(spark):
+    """Corpus-delta dedup: fingerprints for a new shard joined against a
+    stored base index + merged into the stored component star must equal
+    the full recompute over the union — including the bridge case where one
+    shard doc MERGES two base components, and the property that no
+    base<->base candidate is ever generated."""
+    # hand-built 12-bit fingerprints; the only <=3-hamming pairs are
+    # (1,2) (3,4) base, (10,1) (10,2) (10,3) (10,4) bridge, (11,12) shard
+    base = {
+        1: 0x000,
+        2: 0x001,   # ham(1,2)=1 -> base pair {1,2}
+        3: 0xF00,
+        4: 0xF01,   # ham(3,4)=1 -> base pair {3,4}
+        5: 0x0F0,   # base singleton (>=4 from everything)
+    }
+    shard = {
+        10: 0xC01,  # within 3 of ALL of 1,2,3,4 -> BRIDGES {1,2} and {3,4}
+        11: 0xAAA,
+        12: 0xAAB,  # shard-internal pair {11,12}
+        13: 0x555,  # shard singleton
+    }
+    bits, d = 12, 3
+    sig_base = spark.createDataFrame(
+        list(base.items()), "doc_id bigint, simhash bigint"
+    )
+    sig_shard = spark.createDataFrame(
+        list(shard.items()), "doc_id bigint, simhash bigint"
+    )
+
+    # stored state: base-only pigeonhole pairs -> components
+    base_pairs = dedup.pigeonhole_hamming_pairs(
+        sig_base.withColumn("_blk", F.lit(0)), "doc_id", "simhash", bits, d
+    )
+    assignment = dedup.connected_components(base_pairs)
+
+    delta = dedup.simhash_delta_pairs(
+        sig_base, sig_shard, bits=bits, max_hamming=d
+    )
+    dl = delta.collect()
+    shard_ids = set(shard)
+    assert dl, "delta must find pairs"
+    for r in dl:
+        assert r["id_a"] in shard_ids or r["id_b"] in shard_ids, (
+            "base<->base pair leaked into the delta", r)
+        assert r["id_a"] < r["id_b"]
+    # no duplicated normalized pairs (shard<->shard double generation)
+    assert len({(r["id_a"], r["id_b"]) for r in dl}) == len(dl)
+
+    inc = {
+        r["node"]: r["component"]
+        for r in dedup.incremental_components(assignment, delta).collect()
+    }
+    full_pairs = dedup.pigeonhole_hamming_pairs(
+        sig_base.union(sig_shard).withColumn("_blk", F.lit(0)),
+        "doc_id", "simhash", bits, d,
+    )
+    full = {
+        r["node"]: r["component"]
+        for r in dedup.connected_components(full_pairs).collect()
+    }
+    # incremental may label extra nodes only if the star had them; compare on
+    # the union of keys with self-label default (the driver query coalesces)
+    keys = set(inc) | set(full) | set(base) | set(shard)
+    inc_l = {k: inc.get(k, k) for k in keys}
+    full_l = {k: full.get(k, k) for k in keys}
+    assert inc_l == full_l
+    # the bridge actually merged: 1,2,3,4,10 share one component labeled 1
+    assert {inc_l[i] for i in (1, 2, 3, 4, 10)} == {1}
+    assert inc_l[11] == inc_l[12] == 11
+    assert inc_l[5] == 5 and inc_l[13] == 13
