@@ -1729,6 +1729,39 @@ def q_text_winnow_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document REPETITION screen (Gopher-style quality filter):
+    duplicate-line fraction and duplicate word-2/3-gram fractions per doc —
+    looped generations and boilerplate spam light these up while
+    length/stopword features stay normal.  Zero-shuffle per-row
+    higher-order functions; the oracle replays the same
+    1 - distinct/total identity in DuckDB."""
+    return ops_text.repetition_features(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
+def q_text_benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-CONTAMINATION screen: which corpus docs contain (pieces of)
+    an eval item — containment of each benchmark item's winnow fingerprint
+    set inside each corpus doc.  The benchmark table is synthesized
+    deterministically (hash-picked ~2% of docs' leading 200 chars), so every
+    bench item is planted contamination the screen must find; near-dups of
+    the source doc surface too.  The benchmark fingerprint relation is tiny
+    and broadcast — the probe costs one corpus-fingerprint scan, never a
+    self-join."""
+    from sketches_go_spark.functions.expressions import portable_hash64
+
+    docs = _docs(spark, sf_dir)
+    bench = docs.where(
+        F.pmod(portable_hash64(F.col("doc_id"), "benchpick:"), F.lit(50)) == 7
+    ).select(
+        F.col("doc_id").alias("bench_id"),
+        F.substring("text", 1, 200).alias("text"),
+    )
+    return ops_text.winnow_contamination(
+        docs, bench, threshold=0.5
+    ).orderBy("doc_id", "bench_id")
+
+
 def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup GROUPS: transitive closure of the simhash pair graph via
     alternating large-star/small-star connected components — the stage that
@@ -1957,6 +1990,31 @@ def q_sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("query_id", "rank")
 
 
+def q_sim_ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRAINED-IVF end-to-end — the production ANN pipeline shape: Lloyd's
+    k-means (integer-grid, bit-exactly replayable) is FIT on a deterministic
+    hash-sample of the corpus (50%), the learned codebook is materialized
+    (the one tiny collect), and ivf_topk indexes/probes the FULL corpus with
+    it (nprobe=3 of up to 8 data-aware cells).  The oracle replays the whole
+    chain — sampling, k-means iterations, the exact (s/n)/2^scale_bits
+    codebook floats, cell argmax, probe ranking, cosine refinement — so the
+    hash match certifies training AND serving, not just the probe."""
+    from sketches_go_spark.functions.expressions import portable_hash64
+
+    embs = _embs(spark, sf_dir)
+    train = embs.where(
+        F.pmod(portable_hash64(F.col("vec_id"), "ivftrain:"), F.lit(4)) < 2
+    )
+    _, cent = sim.kmeans_fit(train, k=8, iters=2)
+    codebook = sim.kmeans_centroids(cent)
+    queries = embs.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return sim.ivf_topk(
+        embs, queries, k=5, nprobe=3, centroids=codebook
+    ).orderBy("query_id", "rank")
+
+
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup pairs (cosine >= 0.3) within banded LSH buckets
     (union over 4 bands), hot buckets capped at 400 vectors."""
@@ -2129,6 +2187,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_token_counts": q_text_token_counts,
         "text_winnow_fingerprints": q_text_winnow_fingerprints,
         "text_winnow_containment": q_text_winnow_containment,
+        "text_repetition": q_text_repetition,
+        "text_benchmark_contamination": q_text_benchmark_contamination,
         "dedup_components": q_dedup_components,
         "dedup_incremental_shard": q_dedup_incremental_shard,
         "embedding_components": q_embedding_components,
@@ -2139,6 +2199,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_image_resize": q_multimodal_image_resize,
         "sim_ann_lsh": q_sim_ann_lsh,
         "sim_ivf_topk": q_sim_ivf_topk,
+        "sim_ivf_trained_topk": q_sim_ivf_trained_topk,
         "rel_agg_lineitem": q_rel_agg_lineitem,
         "sketch_after_join": q_sketch_after_join,
         "ddsketch_rollup": q_ddsketch_rollup,
@@ -3007,6 +3068,10 @@ ORDER BY l.event_id""",
         "dedup_incremental_shard": opl.components_oracle(max_hamming=3),
         "dedup_canonical_docs": opl.canonical_docs_oracle(max_hamming=3),
         "text_winnow_containment": opl.winnow_containment_oracle(threshold=0.5),
+        "text_repetition": opl.repetition_oracle(),
+        "text_benchmark_contamination": opl.benchmark_contamination_oracle(
+            threshold=0.5
+        ),
         "sample_split_documents": opl.sample_split_oracle(rate=0.1),
         "sample_stratified_by_lang": opl.stratified_topk_oracle(key="lang", k=5),
         # per-group floor thresholds + the same portable hash filter
@@ -3028,6 +3093,9 @@ ORDER BY doc_id""",
         "sim_topk_bruteforce": opl.brute_force_topk_oracle(),
         "sim_ann_lsh": opl.lsh_ann_topk_oracle(),
         "sim_ivf_topk": opl.ivf_topk_oracle(n_centroids=16, nprobe=4),
+        "sim_ivf_trained_topk": opl.ivf_trained_topk_oracle(
+            km_k=8, iters=2, nprobe=3
+        ),
         "embedding_neardup": opl.embedding_neardup_oracle(
             threshold=0.3, bucket_cap=400
         ),

@@ -12,6 +12,7 @@ from sketches_go_spark.operators.text import (
     doc_fingerprint_sql,
     occurrences_sql,
     quality_features_sql,
+    repetition_features_sql,
     winnow_fingerprints_sql,
 )
 
@@ -453,6 +454,77 @@ SELECT query_id, rank, vec_id, sim FROM sgs_ranked WHERE rank <= {k}
 ORDER BY query_id, rank"""
 
 
+def ivf_trained_topk_oracle(
+    src: str = "embeddings",
+    n_queries: int = 5,
+    k: int = 5,
+    km_k: int = 8,
+    iters: int = 2,
+    nprobe: int = 3,
+    dim: int = 64,
+    scale_bits: int = 14,
+    train_salt: str = "ivftrain:",
+    train_mod: int = 4,
+    train_keep: int = 2,
+) -> str:
+    """Replay of the TRAINED-IVF pipeline: kmeans_fit on the hash-sampled
+    training subset (same integer-grid CTE chain as kmeans_oracle_sql, plus
+    the final centroid update), codebook floats via the same exact division
+    chain as kmeans_centroids ((s/n)/2^scale_bits, cells numbered by cluster
+    order), then the ivf_topk probe/refine with that codebook."""
+    from sketches_go_spark.operators.similarity import kmeans_cte_defs
+
+    scale = float(1 << scale_bits)
+    train_where = (
+        f"({_hash_sql('vec_id', train_salt)}) % {train_mod} < {train_keep}"
+    )
+    defs = kmeans_cte_defs(
+        src, km_k, iters, dim, "vec_id", "embedding", scale_bits,
+        where=train_where, with_final_update=True,
+    )
+    defs.append(f"""sgs_cb AS (
+  SELECT cast(row_number() OVER (ORDER BY cluster ASC) - 1 AS int) AS cell,
+         list_transform(range(1, {dim + 1}),
+           p -> cast(s[p] AS double) / cast(n AS double) / {scale}) AS cvec
+  FROM sgs_c{iters}
+)""")
+    dot = _dot_sql("v.embedding", "c.cvec", dim)
+    defs.append(f"""sgs_v AS (
+  SELECT vec_id, embedding, cell FROM (
+    SELECT v.vec_id, v.embedding, c.cell,
+           row_number() OVER (PARTITION BY v.vec_id
+                              ORDER BY {dot} DESC, c.cell ASC) AS rn
+    FROM {src} v CROSS JOIN sgs_cb c
+  ) WHERE rn = 1
+)""")
+    defs.append(f"""sgs_probe AS (
+  SELECT query_id, embedding, cell FROM (
+    SELECT v.vec_id AS query_id, v.embedding, c.cell,
+           row_number() OVER (PARTITION BY v.vec_id
+                              ORDER BY {dot} DESC, c.cell ASC) AS pr
+    FROM {src} v CROSS JOIN sgs_cb c WHERE v.vec_id < {n_queries}
+  ) WHERE pr <= {nprobe}
+)""")
+    cos = _cos_sql("q.embedding", "v.embedding", dim)
+    return (
+        "WITH "
+        + ",\n".join(defs)
+        + f""",
+sgs_sims AS (
+  SELECT q.query_id, v.vec_id, {cos} AS sim
+  FROM sgs_v v JOIN sgs_probe q ON v.cell = q.cell
+),
+sgs_ranked AS (
+  SELECT query_id, vec_id, sim,
+         cast(row_number() OVER (PARTITION BY query_id
+                                 ORDER BY sim DESC, vec_id ASC) AS int) AS rank
+  FROM sgs_sims
+)
+SELECT query_id, rank, vec_id, sim FROM sgs_ranked WHERE rank <= {k}
+ORDER BY query_id, rank"""
+    )
+
+
 # ------------------------------------------------------------------- sampling
 def sample_split_oracle(
     src: str = "documents", rate: float = 0.1,
@@ -549,3 +621,44 @@ JOIN sgs_sizes sb ON sb.doc_id = id_b
 WHERE round(common / sa.sz, 6) >= {threshold}
    OR round(common / sb.sz, 6) >= {threshold}
 ORDER BY id_a, id_b"""
+
+
+def benchmark_contamination_oracle(
+    src: str = "documents", k: int = 8, w: int = 16,
+    threshold: float = 0.5, fp_cap: int = 1000,
+    bench_mod: int = 50, bench_pick: int = 7, bench_len: int = 200,
+) -> str:
+    """Replay of text.winnow_contamination over the driver's synthetic
+    benchmark table (hash-picked docs' leading ``bench_len`` chars): same
+    fingerprints on both sides, same corpus-side fp_cap, same
+    containment-of-the-benchmark division/rounding."""
+    bench_filter = f"({_hash_sql('doc_id', 'benchpick:')}) % {bench_mod} = {bench_pick}"
+    fpc = winnow_fingerprints_sql(src, k=k, w=w)
+    fpb = winnow_fingerprints_sql(
+        "sgs_bench", id_col="bench_id", text_col="text", k=k, w=w
+    )
+    return f"""WITH sgs_bench AS (
+  SELECT doc_id AS bench_id, substr(text, 1, {bench_len}) AS text
+  FROM {src} WHERE {bench_filter}
+),
+sgs_fpc AS ({fpc}),
+sgs_fpb AS ({fpb}),
+sgs_bsz AS (SELECT bench_id, count(*) AS bsz FROM sgs_fpb GROUP BY bench_id),
+sgs_rare AS (SELECT fp FROM sgs_fpc GROUP BY fp HAVING count(*) <= {fp_cap}),
+sgs_common AS (
+  SELECT c.doc_id, b.bench_id, count(*) AS common
+  FROM sgs_fpc c
+  JOIN sgs_rare USING (fp)
+  JOIN sgs_fpb b USING (fp)
+  GROUP BY c.doc_id, b.bench_id
+)
+SELECT doc_id, bench_id,
+       round(common / s.bsz, 6) AS contamination
+FROM sgs_common JOIN sgs_bsz s USING (bench_id)
+WHERE round(common / s.bsz, 6) >= {threshold}
+ORDER BY doc_id, bench_id"""
+
+
+def repetition_oracle(src: str = "documents") -> str:
+    """Replay of text.repetition_features (dup-line + dup-ngram fractions)."""
+    return repetition_features_sql(src)

@@ -502,7 +502,7 @@ def kmeans_centroids(cent_df: DataFrame, scale_bits: int = 14) -> list[list[floa
     return [[float(s) / float(r["_n"]) / scale for s in r["_s"]] for r in rows]
 
 
-def kmeans_oracle_sql(
+def kmeans_cte_defs(
     src: str = "embeddings",
     k: int = 8,
     iters: int = 3,
@@ -510,18 +510,26 @@ def kmeans_oracle_sql(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     scale_bits: int = 14,
-) -> str:
-    """DuckDB replay of :func:`kmeans_fit` — same integer grid, same exact
-    rational centroids, same tie-breaks, iteration by CTE chaining."""
+    where: str = "",
+    with_final_update: bool = False,
+) -> list[str]:
+    """The :func:`kmeans_fit` replay as a list of composable DuckDB CTE
+    definitions (``name AS (body)``): sgs_q (integer grid), sgs_c0 (hash
+    seeds), sgs_a{it} (assignments), sgs_c{it+1} (exact rational centroid
+    updates).  ``with_final_update`` also emits sgs_c{iters} — the TRAINED
+    codebook after the last assignment, which is what
+    :func:`kmeans_centroids` materializes for ivf_topk.  ``where`` filters
+    the training set (the fit-on-a-sample seam)."""
     scale = float(1 << scale_bits)
-    sql = [
-        f"""WITH sgs_q AS (
+    flt = f" WHERE {where}" if where else ""
+    defs = [
+        f"""sgs_q AS (
   SELECT {id_col} AS id,
          list_transform({vec_col},
            x -> cast(round(cast(x AS double) * {scale}) AS bigint)) AS q
-  FROM {src}
-),
-sgs_c0 AS (
+  FROM {src}{flt}
+)""",
+        f"""sgs_c0 AS (
   SELECT cast(rn - 1 AS int) AS cluster, q AS s, cast(1 AS bigint) AS n
   FROM (
     SELECT q, row_number() OVER (ORDER BY h ASC, id ASC) AS rn
@@ -532,7 +540,7 @@ sgs_c0 AS (
       FROM sgs_q
     )
   ) WHERE rn <= {k}
-)"""
+)""",
     ]
     prev = "sgs_c0"
     for it in range(iters):
@@ -541,8 +549,7 @@ sgs_c0 AS (
             f"p -> (q.q[p] * c.n - c.s[p]) * (q.q[p] * c.n - c.s[p]))) AS double)"
             f" / cast(c.n * c.n AS double)"
         )
-        sql.append(f""",
-sgs_a{it} AS (
+        defs.append(f"""sgs_a{it} AS (
   SELECT id, cluster FROM (
     SELECT q.id, c.cluster,
            row_number() OVER (PARTITION BY q.id
@@ -550,9 +557,8 @@ sgs_a{it} AS (
     FROM sgs_q q CROSS JOIN {prev} c
   ) WHERE rn = 1
 )""")
-        if it < iters - 1:
-            sql.append(f""",
-sgs_c{it + 1} AS (
+        if it < iters - 1 or with_final_update:
+            defs.append(f"""sgs_c{it + 1} AS (
   SELECT cluster,
          list(sv ORDER BY pos) AS s,
          any_value(n) AS n
@@ -564,7 +570,23 @@ sgs_c{it + 1} AS (
   ) GROUP BY cluster
 )""")
             prev = f"sgs_c{it + 1}"
-    sql.append(
-        f"\nSELECT id AS {id_col}, cluster FROM sgs_a{iters - 1} ORDER BY {id_col}"
+    return defs
+
+
+def kmeans_oracle_sql(
+    src: str = "embeddings",
+    k: int = 8,
+    iters: int = 3,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale_bits: int = 14,
+) -> str:
+    """DuckDB replay of :func:`kmeans_fit` — same integer grid, same exact
+    rational centroids, same tie-breaks, iteration by CTE chaining."""
+    defs = kmeans_cte_defs(src, k, iters, dim, id_col, vec_col, scale_bits)
+    return (
+        "WITH "
+        + ",\n".join(defs)
+        + f"\nSELECT id AS {id_col}, cluster FROM sgs_a{iters - 1} ORDER BY {id_col}"
     )
-    return "".join(sql)

@@ -399,6 +399,148 @@ def winnow_containment_pairs(
     return out
 
 
+# ----------------------------------------------------- repetition screening
+def repetition_features(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str | Column = "text",
+    ns: tuple[int, ...] = (2, 3),
+    decimals: int = 6,
+) -> DataFrame:
+    """Within-document repetition screen (the Gopher/MassiveText-style
+    quality filter): per doc, the duplicate-line fraction and the
+    duplicate word-n-gram fraction for each n in ``ns`` —
+    ``dup = 1 - distinct/total`` (0 for empty docs).  Heavily repeated
+    boilerplate, looped generations, and listicle spam all light these up
+    while length/stopword features stay normal.
+
+    Pure per-row Catalyst higher-order functions — split, transform,
+    array_distinct — ZERO shuffles; the whole screen runs inside the scan's
+    codegen, so at 100 TB the cost is string traversal alone."""
+    # lazy import: dedup imports from text at module level, so the shingle
+    # helper must be imported at call time to avoid the cycle
+    from sketches_go_spark.operators.dedup import word_shingles
+
+    text = F.coalesce(_col(text_col), F.lit(""))
+    lines = F.split(text, "\n")
+    words = F.split(F.lower(F.trim(text)), " ")
+    d = df.select(
+        _col(id_col).alias(id_col), lines.alias("_ln"), words.alias("_w")
+    )
+    n_lines = F.size("_ln")
+    dup_line = F.when(
+        n_lines > 0,
+        F.lit(1.0)
+        - F.size(F.array_distinct("_ln")).cast("double") / n_lines,
+    ).otherwise(F.lit(0.0))
+    cols = [
+        n_lines.alias("n_lines"),
+        F.round(dup_line, decimals).alias("dup_line_frac"),
+    ]
+    for n in ns:
+        grams = word_shingles(F.col("_w"), n)
+        total = F.size(grams)
+        frac = F.when(
+            total > 0,
+            F.lit(1.0) - F.size(F.array_distinct(grams)).cast("double") / total,
+        ).otherwise(F.lit(0.0))
+        cols.append(F.round(frac, decimals).alias(f"dup_{n}gram_frac"))
+    return d.select(id_col, *cols)
+
+
+def repetition_features_sql(
+    src: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ns: tuple[int, ...] = (2, 3),
+    decimals: int = 6,
+) -> str:
+    """DuckDB replay of :func:`repetition_features` (same split semantics,
+    same shingle grid, same 1 - distinct/total identity)."""
+    text = f"coalesce({text_col}, '')"
+    laterals, sels = [], []
+    for n in ns:
+        grams = (
+            f"CASE WHEN len(w) >= {n} THEN list_transform("
+            f"range(1, len(w) - {n} + 2), "
+            f"i -> array_to_string(list_slice(w, i, i + {n} - 1), ' ')) "
+            f"ELSE [] END"
+        )
+        laterals.append(f"LATERAL (SELECT {grams} AS g{n}) sgs_g{n}")
+        sels.append(
+            f"CASE WHEN len(g{n}) > 0 THEN round(1.0 - "
+            f"cast(len(list_distinct(g{n})) AS double) / len(g{n}), "
+            f"{decimals}) ELSE 0.0 END AS dup_{n}gram_frac"
+        )
+    return f"""WITH sgs_rep AS (
+  SELECT {id_col},
+         string_split({text}, chr(10)) AS l,
+         string_split(lower(trim({text})), ' ') AS w
+  FROM {src}
+)
+SELECT {id_col},
+       cast(len(l) AS int) AS n_lines,
+       CASE WHEN len(l) > 0 THEN round(1.0 -
+         cast(len(list_distinct(l)) AS double) / len(l), {decimals})
+       ELSE 0.0 END AS dup_line_frac,
+       {", ".join(sels)}
+FROM sgs_rep, {", ".join(laterals)}
+ORDER BY {id_col}"""
+
+
+def winnow_contamination(
+    corpus: DataFrame,
+    bench: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_id_col: str = "bench_id",
+    bench_text_col: str = "text",
+    k: int = 8,
+    w: int = 16,
+    threshold: float = 0.5,
+    fp_cap: int = 1000,
+    decimals: int = 6,
+) -> DataFrame:
+    """(doc_id, bench_id, contamination): benchmark-contamination screen —
+    containment of each BENCHMARK item's winnow fingerprint set inside each
+    corpus document, ``contamination = |fp(bench) ∩ fp(doc)| / |fp(bench)|``.
+    The asymmetric complement of :func:`winnow_containment_pairs`: the
+    benchmark side is small and trusted, the corpus side is 100 TB, and the
+    question is "which training docs contain (pieces of) this eval item",
+    not "which docs resemble each other".
+
+    Scale shape: the join key is the fingerprint, the benchmark fingerprint
+    relation is tiny (broadcastable), and ``fp_cap`` drops corpus-hot
+    boilerplate fingerprints before the join — so the probe costs one scan
+    of the corpus fingerprints, never a self-join."""
+    fps_c = winnow_fingerprints(corpus, id_col, text_col, k=k, w=w)
+    fps_b = winnow_fingerprints(bench, bench_id_col, bench_text_col, k=k, w=w)
+    sz_b = fps_b.groupBy(bench_id_col).agg(F.count(F.lit(1)).alias("_bsz"))
+    rare = (
+        fps_c.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("docfreq"))
+        .where(F.col("docfreq") <= fp_cap)
+        .select("fp")
+    )
+    common = (
+        fps_c.join(rare, "fp")
+        .join(F.broadcast(fps_b), "fp")
+        .groupBy(id_col, bench_id_col)
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    return (
+        common.join(F.broadcast(sz_b), bench_id_col)
+        .select(
+            id_col,
+            bench_id_col,
+            F.round(F.col("common") / F.col("_bsz"), decimals).alias(
+                "contamination"
+            ),
+        )
+        .where(F.col("contamination") >= threshold)
+    )
+
+
 # ------------------------------------------------------------- PII redaction
 # Lookahead-free patterns so Java regex (Spark) and RE2 (DuckDB) agree
 # match-for-match.  Order matters and is part of the contract: emails are

@@ -263,6 +263,21 @@ def test_ivf_with_trained_codebook_beats_fixed(spark):
     assert r_trained >= r_fixed
     assert r_trained > 0.9
 
+    # the production shape (and the sim_ivf_trained_topk driver query):
+    # FIT ON A SAMPLE, index everything — recall must hold
+    from sketches_go_spark.functions.expressions import portable_hash64
+
+    train = df.where(
+        F.pmod(portable_hash64(F.col("vec_id"), "ivftrain:"), F.lit(4)) < 2
+    )
+    _, cent_s = sim.kmeans_fit(train, k=kc, iters=4, scale_bits=10)
+    book_s = sim.kmeans_centroids(cent_s, scale_bits=10)
+    r_sampled = recall(
+        sim.ivf_topk(df, queries, k=5, n_centroids=kc, nprobe=1, dim=dim,
+                     centroids=book_s).toPandas()
+    )
+    assert r_sampled > 0.9
+
 
 def test_image_resize_plumbing(spark):
     """Resize invariants: fit-in-box dims (longest side == box unless the
