@@ -24,6 +24,7 @@ from sketches_go_spark.core.ddsketch import DDSketchConfig
 from sketches_go_spark.functions import ddsketch_fns as dd
 from sketches_go_spark.functions import oracles
 from sketches_go_spark.functions import sketch_fns as sk
+from sketches_go_spark.operators import bpe as ops_bpe
 from sketches_go_spark.operators import dedup
 from sketches_go_spark.operators import multimodal as mm
 from sketches_go_spark.operators import oracles_pipeline as opl
@@ -1494,6 +1495,43 @@ def q_streaming_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name).orderBy("fingerprint")
 
 
+def q_streaming_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming NEAR-dup index (axis B): the MinHash-LSH band-bucket state
+    maintained as documents stream in — signatures are per-row higher-order
+    functions (no cross-row dependency), so the only streaming aggregation
+    is the (band, bucket) min/count monoid and the availableNow result
+    equals the batch replay exactly.  State = one row per occupied bucket;
+    a doc landing in an n_docs >= 2 bucket has a near-dup candidate."""
+    import hashlib
+    import os
+    import shutil
+
+    from sketches_go_spark.streaming.stream_agg import streaming_minhash_buckets
+
+    src_file = f"{sf_dir}/documents.parquet"
+    stage = "/tmp/sgs_stream_docs_" + hashlib.md5(src_file.encode()).hexdigest()[:8]
+    fp = _src_fingerprint(src_file)
+    if not _stage_is_fresh(stage, "_FRESH", fp):
+        shutil.rmtree(stage, ignore_errors=True)
+        os.makedirs(stage, exist_ok=True)
+        shutil.copy(src_file, os.path.join(stage, "documents.parquet"))
+        _write_stage_marker(stage, "_FRESH", fp)
+    schema = spark.read.parquet(src_file).schema
+    stream = spark.readStream.schema(schema).parquet(stage)
+    buckets = streaming_minhash_buckets(stream)
+    _STREAM_COUNTER[0] += 1
+    name = f"sgs_stream_mh_{_STREAM_COUNTER[0]}"
+    q = (
+        buckets.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name).orderBy("band", "bucket")
+
+
 def q_streaming_cms_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming count-min counter relation (axis B): (event_type, row, col,
     cnt) is a SUM-monoid maintained natively by the state store; the
@@ -1655,6 +1693,30 @@ def q_pack_sequences_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return packing.pack_sequences(
         toks, capacity=256, n_shards=8
+    ).orderBy("doc_id", "pack_id")
+
+
+def q_text_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-faithful token counts: the committed subword vocabulary
+    (BPE-merge-trained, truncated) applied with greedy longest-match
+    segmentation in one Arrow-batched mapInPandas stage; the oracle replays
+    the identical greedy rule with a recursive-CTE segmenter over distinct
+    words (operators/bpe.py)."""
+    from sketches_go_spark.operators import bpe
+
+    return bpe.bpe_token_counts(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
+def q_pack_sequences_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing driven by REAL tokenizer counts: the greedy-subword
+    counts (not whitespace counts) feed the same capacity-256 / 8-shard
+    concat-then-chunk layout — the production pairing of tokenizer and data
+    loader, end-to-end under the exact gate."""
+    from sketches_go_spark.operators import bpe
+
+    toks = bpe.bpe_token_counts(_docs(spark, sf_dir))
+    return packing.pack_sequences(
+        toks, tokens_col="n_bpe_tokens", capacity=256, n_shards=8
     ).orderBy("doc_id", "pack_id")
 
 
@@ -2221,8 +2283,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_redact_pii": q_text_redact_pii,
         "text_tfidf_top_terms": q_text_tfidf_top_terms,
         "pack_sequences_documents": q_pack_sequences_documents,
+        "text_bpe_token_counts": q_text_bpe_token_counts,
+        "pack_sequences_bpe": q_pack_sequences_bpe,
         "ddsketch_cdf_by_event_type": q_ddsketch_cdf_by_event_type,
         "streaming_dedup_exact": q_streaming_dedup_exact,
+        "streaming_dedup_minhash": q_streaming_dedup_minhash,
         "funnel_within_week": q_funnel_within_week,
         "asof_nearest_purchase_click": q_asof_nearest_purchase_click,
         "dedup_canonical_docs": q_dedup_canonical_docs,
@@ -2961,6 +3026,14 @@ ORDER BY l_returnflag, l_linestatus""",
             n_shards=8,
         )
         + " ORDER BY doc_id, pack_id",
+        "text_bpe_token_counts": ops_bpe.bpe_token_counts_sql("documents"),
+        "pack_sequences_bpe": packing.pack_sequences_sql(
+            ops_bpe.bpe_token_counts_sql("documents"),
+            tokens_expr="n_bpe_tokens",
+            capacity=256,
+            n_shards=8,
+        )
+        + " ORDER BY doc_id, pack_id",
         "ddsketch_cdf_by_event_type": _cdf_oracle_sql(),
         "chunk_documents": packing.chunk_documents_sql(
             "documents", chunk_tokens=64, stride=48
@@ -3056,6 +3129,7 @@ ORDER BY l.event_id""",
             + " AS fingerprint FROM documents)"
             " GROUP BY fingerprint ORDER BY fingerprint"
         ),
+        "streaming_dedup_minhash": opl.minhash_buckets_oracle(),
         "dedup_exact": opl.exact_dedup_oracle(),
         "dedup_ngram_jaccard": opl.ngram_jaccard_oracle(threshold=0.5),
         "dedup_minhash_lsh": opl.minhash_lsh_oracle(threshold=0.5),

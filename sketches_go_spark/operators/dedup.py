@@ -92,6 +92,7 @@ def ngram_jaccard_pairs(
     threshold: float = 0.5,
     df_cap: int = 1000,
     sim_decimals: int = 6,
+    candidate_budget: int | None = None,
 ) -> DataFrame:
     """(id_a, id_b, jaccard) for pairs with n-gram Jaccard >= threshold.
 
@@ -99,15 +100,26 @@ def ngram_jaccard_pairs(
     shingle, so only documents sharing at least one (rare-enough) shingle
     ever meet.  ``df_cap`` removes shingles appearing in more than that many
     documents before the join — at 100 TB a single hot shingle would
-    otherwise produce a quadratic reducer."""
+    otherwise produce a quadratic reducer.
+
+    ``candidate_budget``: when set, the exact candidate volume (sum of
+    C(docfreq, 2) over capped shingles) is checked BEFORE the self-join and
+    text.CandidateBudgetExceeded raised above it — one small eager job in
+    exchange for an explicit failure instead of a runaway stage."""
+    from sketches_go_spark.operators.text import check_candidate_budget
+
     sh = shingle_rel(df, id_col, text_col, n)
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
-    rare = (
+    freq = (
         sh.groupBy("shingle")
         .agg(F.count(F.lit(1)).alias("docfreq"))
         .where(F.col("docfreq") <= df_cap)
-        .select("shingle")
     )
+    if candidate_budget is not None:
+        check_candidate_budget(
+            freq, "docfreq", candidate_budget, "ngram_jaccard_pairs"
+        )
+    rare = freq.select("shingle")
     sh_r = sh.join(rare, "shingle")
     a = sh_r.select(F.col(id_col).alias("id_a"), "shingle")
     b = sh_r.select(F.col(id_col).alias("id_b"), "shingle")
@@ -162,6 +174,78 @@ def minhash_signatures(
     return sh.groupBy(id_col).agg(*mins)
 
 
+def minhash_signatures_rowwise(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_perm: int = 16,
+    hash_fn=None,
+) -> DataFrame:
+    """(id, sig_0..sig_{k-1}) computed ENTIRELY WITHIN each row — the
+    signature is ``array_min`` over the doc's own shingle array per
+    permutation, zero shuffles.  Output is identical to
+    :func:`minhash_signatures` (a min is insensitive to the duplicate
+    shingles the groupBy path removes with distinct); docs with no shingle
+    (fewer than ``n`` words) are absent from both, and the per-doc distinct
+    shingle count is emitted as ``_sz`` like the one-pass aggregation.
+
+    This is the STREAMING-compatible form: a doc's signature needs no
+    cross-row state, so the only streaming aggregation left is whatever
+    monoid consumes the signatures (see streaming.stream_agg.
+    streaming_minhash_buckets)."""
+    hash_fn = hash_fn or portable_hash64
+    d = df.select(
+        _col(id_col).alias(id_col),
+        F.split(F.lower(F.trim(_col(text_col))), " ").alias("_w"),
+    )
+    # materialize the shingle array once; array_distinct to mirror the
+    # batch path's distinct shingle relation (sizes must match for any
+    # downstream Jaccard use)
+    d = d.select(
+        id_col, F.array_distinct(word_shingles(F.col("_w"), n)).alias("_sh")
+    ).where(F.size("_sh") > 0)
+    # one-parameter lambdas ONLY: a second transform-lambda parameter
+    # receives the ARRAY INDEX, which would silently shadow a j=j default
+    def _perm_hash(j: int):
+        return lambda s: hash_fn(s, minhash_salt(j))
+
+    sigs = [
+        F.array_min(F.transform(F.col("_sh"), _perm_hash(j))).alias(f"sig_{j}")
+        for j in range(num_perm)
+    ]
+    return d.select(id_col, *sigs, F.size("_sh").alias("_sz"))
+
+
+def band_buckets_expr(
+    num_perm: int, band_size: int, hash_fn=None
+) -> Column:
+    """Array of (band, bucket) structs from the ``sig_*`` columns in scope —
+    the LSH banding shared by the batch pair generator and the streaming
+    bucket state."""
+    assert num_perm % band_size == 0
+    hash_fn = hash_fn or portable_hash64
+    n_bands = num_perm // band_size
+    return F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                hash_fn(
+                    F.concat_ws(
+                        "_",
+                        *[
+                            F.col(f"sig_{b * band_size + i}").cast("string")
+                            for i in range(band_size)
+                        ],
+                    ),
+                    "band:",
+                ).alias("bucket"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -192,25 +276,7 @@ def minhash_lsh_pairs(
     sigs = sh.groupBy(id_col).agg(
         *mins, F.count(F.lit(1)).alias("_sz")
     )
-    n_bands = num_perm // band_size
-    bands = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                hash_fn(
-                    F.concat_ws(
-                        "_",
-                        *[
-                            F.col(f"sig_{b * band_size + i}").cast("string")
-                            for i in range(band_size)
-                        ],
-                    ),
-                    "band:",
-                ).alias("bucket"),
-            )
-            for b in range(n_bands)
-        ]
-    )
+    bands = band_buckets_expr(num_perm, band_size, hash_fn)
     buckets = sigs.select(id_col, F.explode(bands).alias("bb")).select(
         id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
     )

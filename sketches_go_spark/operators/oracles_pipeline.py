@@ -142,6 +142,40 @@ WHERE round(common / (sa.sz + sb.sz - common), 6) >= {threshold}
 ORDER BY id_a, id_b"""
 
 
+def minhash_buckets_oracle(
+    src: str = "documents",
+    n: int = 3,
+    num_perm: int = 16,
+    band_size: int = 4,
+) -> str:
+    """Batch replay of streaming_minhash_buckets: same signatures, same band
+    hashing, (band, bucket) min/count summary."""
+    n_bands = num_perm // band_size
+    sig_cols = ", ".join(
+        f"min({_hash_sql('shingle', minhash_salt(j))}) AS sig_{j}"
+        for j in range(num_perm)
+    )
+    band_rows = "\nUNION ALL\n".join(
+        f"SELECT doc_id, cast({b} AS int) AS band, "
+        + _hash_sql(
+            "concat_ws('_', "
+            + ", ".join(
+                f"cast(sig_{b * band_size + i} AS string)" for i in range(band_size)
+            )
+            + ")",
+            "band:",
+        )
+        + " AS bucket FROM sgs_sigs"
+        for b in range(n_bands)
+    )
+    return f"""WITH {_shingle_cte(src, n)},
+sgs_sigs AS (SELECT doc_id, {sig_cols} FROM sgs_sh GROUP BY doc_id),
+sgs_buckets AS ({band_rows})
+SELECT band, bucket, min(doc_id) AS canonical_id, count(*) AS n_docs
+FROM sgs_buckets GROUP BY band, bucket
+ORDER BY band, bucket"""
+
+
 def simhash_oracle(src: str = "documents", bits: int = 60) -> str:
     h = _hash_sql("tok", "sh:")
     votes = ", ".join(

@@ -336,9 +336,16 @@ def winnow_containment_pairs(
     threshold: float = 0.5,
     fp_cap: int = 1000,
     decimals: int = 6,
+    candidate_budget: int | None = None,
 ) -> DataFrame:
     """(id_a, id_b, cont_a, cont_b): fingerprint-containment scores for doc
     pairs sharing winnow fingerprints — cont_a = |fp(a) ∩ fp(b)| / |fp(a)|.
+
+    ``candidate_budget``: when set, the exact candidate volume
+    (sum of C(docfreq, 2) over capped fingerprints) is computed from the
+    docfreq relation BEFORE the self-join and
+    :class:`CandidateBudgetExceeded` is raised above it — costs one small
+    eager aggregation job.
 
     Containment is the ASYMMETRIC relation Jaccard misses: a short document
     pasted inside a long one scores cont_short ≈ 1 while Jaccard stays low.
@@ -362,12 +369,16 @@ def winnow_containment_pairs(
     C(df,2) pairs in one buffer)."""
     fps = winnow_fingerprints(df, id_col, text_col, k=k, w=w)
     sizes = fps.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
-    rare = (
+    freq = (
         fps.groupBy("fp")
         .agg(F.count(F.lit(1)).alias("docfreq"))
         .where(F.col("docfreq") <= fp_cap)
-        .select("fp")
     )
+    if candidate_budget is not None:
+        check_candidate_budget(
+            freq, "docfreq", candidate_budget, "winnow_containment_pairs"
+        )
+    rare = freq.select("fp")
     fr = fps.join(rare, "fp")
     a = fr.select(F.col(id_col).alias("id_a"), "fp")
     b = fr.select(F.col(id_col).alias("id_b"), "fp")
@@ -486,6 +497,34 @@ SELECT {id_col},
        {", ".join(sels)}
 FROM sgs_rep, {", ".join(laterals)}
 ORDER BY {id_col}"""
+
+
+class CandidateBudgetExceeded(RuntimeError):
+    """A blocking self-join would generate more candidate pairs than the
+    caller's budget — the explicit failure mode for corpora whose key
+    distribution defeats blocking (e.g. a tiny shared vocabulary), instead
+    of a runaway quadratic stage."""
+
+
+def check_candidate_budget(
+    freq: DataFrame, count_col: str, budget: int, what: str
+) -> float:
+    """Candidate volume a blocking self-join will generate: sum over keys of
+    C(docfreq, 2), computed from the (cheap, already-aggregated) docfreq
+    relation BEFORE the join runs.  Raises :class:`CandidateBudgetExceeded`
+    above ``budget``.  One tiny aggregation job — the price of making the
+    quadratic failure mode explicit rather than discovered as a hung stage
+    at 100 TB."""
+    c = F.col(count_col).cast("double")
+    row = freq.agg(F.sum(c * (c - 1) / 2).alias("_cand")).first()
+    n = float(row["_cand"] or 0.0)
+    if n > budget:
+        raise CandidateBudgetExceeded(
+            f"{what}: blocking join would generate ~{n:.3g} candidate pairs"
+            f" (> budget {budget}); raise the budget, tighten the"
+            " doc-frequency cap, or sample the corpus"
+        )
+    return n
 
 
 def winnow_contamination(

@@ -207,6 +207,52 @@ def stateful_sketch_stream(
     )
 
 
+def streaming_minhash_buckets(
+    stream: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_perm: int = 16,
+    band_size: int = 4,
+    hash_fn=None,
+) -> DataFrame:
+    """Streaming MinHash-LSH band-bucket state: (band, bucket, canonical_id,
+    n_docs) — the near-dup index maintained incrementally as documents
+    arrive.
+
+    The key design point: a document's MinHash signature is computed
+    ENTIRELY WITHIN its own row (dedup.minhash_signatures_rowwise — array
+    minima over the doc's shingle array, no cross-row dependency), so the
+    only streaming aggregation is the bucket summary itself, and min/count
+    are order-free monoids the state store maintains natively.  The
+    availableNow result therefore equals the batch replay EXACTLY (the
+    batch-equality oracle), and state is one row per occupied (band,
+    bucket) — the same index a batch LSH pass would build, kept fresh.
+
+    An arriving doc that lands in a bucket with n_docs >= 2 has a near-dup
+    candidate; candidate verification (exact Jaccard) stays a batch join
+    against the corpus — verification needs both texts and is not
+    meaningfully streamable state."""
+    from sketches_go_spark.operators.dedup import (
+        band_buckets_expr,
+        minhash_signatures_rowwise,
+    )
+
+    sigs = minhash_signatures_rowwise(
+        stream, id_col, text_col, n=n, num_perm=num_perm, hash_fn=hash_fn
+    )
+    bands = band_buckets_expr(num_perm, band_size, hash_fn)
+    buckets = sigs.select(F.col(id_col), F.explode(bands).alias("bb")).select(
+        id_col,
+        F.col("bb.band").alias("band"),
+        F.col("bb.bucket").alias("bucket"),
+    )
+    return buckets.groupBy("band", "bucket").agg(
+        F.min(id_col).alias("canonical_id"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+
+
 def streaming_hll_registers(
     stream: DataFrame,
     item_col: str,

@@ -1379,3 +1379,81 @@ def test_incremental_dedup_matches_full_recompute(spark):
     assert {inc_l[i] for i in (1, 2, 3, 4, 10)} == {1}
     assert inc_l[11] == inc_l[12] == 11
     assert inc_l[5] == 5 and inc_l[13] == 13
+
+
+def test_bpe_segment_and_counts(spark):
+    """Greedy longest-match invariants: full-word vocab hits are 1 token,
+    trained subword splits are exact, OOV falls back to chars, empty is 0;
+    the Spark stage sums per-word counts."""
+    from sketches_go_spark.operators import bpe
+
+    assert bpe.segment_count("customer") == 1
+    assert bpe.segment_count("window") == 3       # wi|nd|ow
+    assert bpe.segment_count("query") == 3        # qu|er|y
+    assert bpe.segment_count("xz") == 2           # chars (no 'xz' unit)
+    assert bpe.segment_count("") == 0
+    # longest match wins over shorter prefixes: 'table' is one token even
+    # though 'ta' is in the vocab
+    assert bpe.segment_count("table") == 1
+
+    df = spark.createDataFrame(
+        [(1, "customer window"), (2, ""), (3, "  query   query  "), (4, None)],
+        "doc_id bigint, text string",
+    )
+    got = {r["doc_id"]: r["n_bpe_tokens"]
+           for r in bpe.bpe_token_counts(df).collect()}
+    assert got == {1: 4, 2: 0, 3: 6, 4: 0}
+
+
+def test_candidate_budget_guard(spark):
+    """The budget guard trips on an adversarial corpus (tiny shared
+    vocabulary -> near-quadratic candidates below the df_cap) and stays
+    silent on a realistic one (distinct texts)."""
+    from sketches_go_spark.operators.text import (
+        CandidateBudgetExceeded,
+        winnow_containment_pairs,
+    )
+
+    # adversarial: 80 docs of identical text -> every shingle/fingerprint
+    # has docfreq 80, C(80,2)=3160 candidates per key
+    bad = spark.createDataFrame(
+        [(i, "all work and no play makes a dull corpus forever") for i in range(80)],
+        "doc_id bigint, text string",
+    )
+    with pytest.raises(CandidateBudgetExceeded):
+        dedup.ngram_jaccard_pairs(bad, candidate_budget=1000).count()
+    with pytest.raises(CandidateBudgetExceeded):
+        winnow_containment_pairs(bad, candidate_budget=1000).count()
+
+    # realistic: unique texts -> zero shared keys -> zero candidates
+    good = spark.createDataFrame(
+        [
+            (i, f"a{i} b{i * 3} c{i * 5} d{i * 7} e{i * 11} f{i * 13} g{i * 17}")
+            for i in range(80)
+        ],
+        "doc_id bigint, text string",
+    )
+    assert dedup.ngram_jaccard_pairs(good, candidate_budget=1000).count() == 0
+    winnow_containment_pairs(good, candidate_budget=200000).count()
+
+
+def test_minhash_rowwise_equals_grouped(spark):
+    """The per-row HOF signature (the streaming form) must equal the one-pass
+    grouped aggregation signature doc-for-doc — including duplicate-shingle
+    docs and sub-n-word docs (absent from both)."""
+    rows = [
+        (1, "a b c d e f"),
+        (2, "a b c a b c a b c"),           # heavy duplicate shingles
+        (3, "x y"),                          # < n words: no signature
+        (4, "the quick brown fox jumps"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    a = dedup.minhash_signatures(df, num_perm=8).orderBy("doc_id").toPandas()
+    b = (
+        dedup.minhash_signatures_rowwise(df, num_perm=8)
+        .drop("_sz")
+        .orderBy("doc_id")
+        .toPandas()
+    )
+    assert list(a["doc_id"]) == [1, 2, 4] and list(b["doc_id"]) == [1, 2, 4]
+    pd.testing.assert_frame_equal(a, b[a.columns], check_dtype=False)
