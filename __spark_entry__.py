@@ -2240,10 +2240,83 @@ def entry(spark: SparkSession) -> DataFrame:
     return q_ddsketch_latency_by_tool(spark, "/root/testdata/sf0.001")
 
 
+#: The driver's correctness gate verifies the FIRST 50 queries() entries, so
+#: ordering is the rotation policy.  Round-5 window, in priority order:
+#: (1) the 7 queries NEW this round; (2) every query whose code path changed
+#: this round (pigeonhole/simhash refactor -> simhash family + components;
+#: band_buckets_expr refactor -> minhash; candidate_budget param -> jaccard +
+#: winnow containment; kmeans CTE refactor -> kmeans oracle; staging
+#: freshness/mtime fixes -> csv + streaming stages; chunk empty-doc gate;
+#: rebalanced_sample guard); (3) the two rotations the round-4 verdict
+#: demanded (funnel, bins histogram); (4) fill to 50 with queries last
+#: verified in round 3 (everything outside the r4 window was).
+_ROUND5_WINDOW = [
+    # --- new this round
+    "text_repetition",
+    "text_benchmark_contamination",
+    "dedup_incremental_shard",
+    "sim_ivf_trained_topk",
+    "text_bpe_token_counts",
+    "pack_sequences_bpe",
+    "streaming_dedup_minhash",
+    # --- code path changed this round
+    "chunk_documents",
+    "streaming_append_daily_quantiles",
+    "streaming_dedup_exact",
+    "source_csv_textlen_by_role",
+    "sample_rebalance_by_lang",
+    "kmeans_assign_embeddings",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "text_winnow_containment",
+    "dedup_components",
+    "dedup_simhash",
+    "dedup_simhash_pairs",
+    "dedup_simhash_pairs_global",
+    "embedding_components",
+    "dedup_canonical_docs",
+    # --- round-4 verdict rotations
+    "funnel_signup_click_purchase",
+    "ddsketch_bins_histogram",
+    # --- last verified round 3
+    "ddsketch_latency_by_tool",
+    "ddsketch_summary_by_role",
+    "ddsketch_udaf_textlen_by_role",
+    "sql_api_textlen_by_role",
+    "ddsketch_proto_roundtrip",
+    "ddsketch_udaf_bins_strategy",
+    "ddsketch_daily_quantiles",
+    "ddsketch_cube_range_quantiles",
+    "ddsketch_psi_value_drift",
+    "ddsketch_mad_by_event_type",
+    "ddsketch_winsorized_mean",
+    "ddsketch_daily_trend",
+    "ddsketch_sliding_quantiles",
+    "sessionize_user_events",
+    "asof_purchase_last_click",
+    "interval_join_session_events",
+    "asof_signup_next_purchase",
+    "retention_weekly",
+    "ddsketch_collapsed_bins",
+    "ddsketch_collapsed_highest_bins",
+    "ddsketch_weighted_bins",
+    "hll_registers_convs_by_role",
+    "hll_distinct_convs_by_role",
+    "hll_udaf_distinct_by_role",
+    "hll_cube_range_distinct",
+    "kmv_event_type_user_overlap",
+]
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # Ordering is deliberate: the driver's correctness gate verifies the FIRST
-    # 50 entries. Queries without a CORRECTNESS_r03 row (never-driver-verified
-    # or modified in round 3) come first; long-stable r03-green queries last.
+    ordered = {k: _ALL_QUERIES[k] for k in _ROUND5_WINDOW}
+    ordered.update(
+        {k: v for k, v in _ALL_QUERIES.items() if k not in ordered}
+    )
+    return ordered
+
+
+def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "streaming_hll_sliding_distinct": q_streaming_hll_sliding_distinct,
         "text_token_counts": q_text_token_counts,
@@ -2347,6 +2420,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_session_stats": q_streaming_session_stats,
         "streaming_kll_by_event_type": q_streaming_kll_by_event_type,
     }
+
+
+_ALL_QUERIES = _all_queries()
 
 
 def _redact_pii_oracle_sql() -> str:

@@ -339,6 +339,16 @@ def main() -> None:
         "asof_nearest_purchase_click",
         "chunk_documents",
         "sample_rebalance_by_lang",
+        # round 5: incremental shard dedup (first run stages the warehouse,
+        # min-of-N reflects the staged incremental cost — the operation's
+        # actual profile), contamination/repetition screens, trained IVF,
+        # BPE-driven packing, streaming near-dup bucket state
+        "dedup_incremental_shard",
+        "text_repetition",
+        "text_benchmark_contamination",
+        "sim_ivf_trained_topk",
+        "pack_sequences_bpe",
+        "streaming_dedup_minhash",
     ):
         best, steal = timed(lambda: qfns[name](spark, SF_DIR), 2)
         pipeline_timings[name] = round(best, 3)
