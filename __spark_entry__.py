@@ -1721,6 +1721,32 @@ def q_pack_sequences_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id", "pack_id")
 
 
+def q_text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style unigram LM quality score: mean log10 corpus-unigram
+    probability per document — the cheap perplexity-filter stand-in.  The
+    per-word log is computed once per DISTINCT term and quantized to
+    integer micro-units, so the per-doc accumulation is an order-free
+    integer sum (bit-stable across engines and partitionings)."""
+    return ops_text.unigram_logprob(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
+def q_ddsketch_bpe_tokens_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketches COMPOSE with the pipeline operators: DDSketch quantiles of
+    the BPE token-count distribution per source — the
+    'token budget per provider' question a pretraining-mix owner asks.  The
+    tokenizer stage is the Arrow-batched greedy-subword counter; the sketch
+    stage is the pure-relational bins path; the oracle replays BOTH (the
+    recursive-CTE segmenter feeding the bins CTE chain) in one statement."""
+    docs = _docs(spark, sf_dir)
+    counts = ops_bpe.bpe_token_counts(docs)
+    src = counts.join(docs.select("doc_id", "source"), "doc_id").select(
+        "source", F.col("n_bpe_tokens").cast("double").alias("v")
+    )
+    return dd.ddsketch_quantiles_relational(
+        src, "v", ["source"], QS, CFG
+    ).orderBy("source", "q")
+
+
 def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Overlapping retrieval/RAG chunking: 64-token windows every 48 tokens
     per document, text re-joined per chunk — zero-shuffle per-row Catalyst
@@ -2260,6 +2286,8 @@ _ROUND5_WINDOW = [
     "text_bpe_token_counts",
     "pack_sequences_bpe",
     "streaming_dedup_minhash",
+    "text_unigram_logprob",
+    "ddsketch_bpe_tokens_by_source",
     # --- code path changed this round
     "chunk_documents",
     "streaming_append_daily_quantiles",
@@ -2304,8 +2332,6 @@ _ROUND5_WINDOW = [
     "hll_registers_convs_by_role",
     "hll_distinct_convs_by_role",
     "hll_udaf_distinct_by_role",
-    "hll_cube_range_distinct",
-    "kmv_event_type_user_overlap",
 ]
 
 
@@ -2359,6 +2385,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences_documents": q_pack_sequences_documents,
         "text_bpe_token_counts": q_text_bpe_token_counts,
         "pack_sequences_bpe": q_pack_sequences_bpe,
+        "text_unigram_logprob": q_text_unigram_logprob,
+        "ddsketch_bpe_tokens_by_source": q_ddsketch_bpe_tokens_by_source,
         "ddsketch_cdf_by_event_type": q_ddsketch_cdf_by_event_type,
         "streaming_dedup_exact": q_streaming_dedup_exact,
         "streaming_dedup_minhash": q_streaming_dedup_minhash,
@@ -3104,6 +3132,16 @@ ORDER BY l_returnflag, l_linestatus""",
         )
         + " ORDER BY doc_id, pack_id",
         "text_bpe_token_counts": ops_bpe.bpe_token_counts_sql("documents"),
+        "text_unigram_logprob": ops_text.unigram_logprob_sql("documents"),
+        "ddsketch_bpe_tokens_by_source": oracles.ddsketch_quantiles_sql(
+            "SELECT d.source, cast(b.n_bpe_tokens AS double) AS v FROM ("
+            + ops_bpe.bpe_token_counts_sql("documents")
+            + ") b JOIN documents d ON b.doc_id = d.doc_id",
+            ["source"],
+            QS,
+            CFG,
+            order_by="source, q",
+        ),
         "pack_sequences_bpe": packing.pack_sequences_sql(
             ops_bpe.bpe_token_counts_sql("documents"),
             tokens_expr="n_bpe_tokens",

@@ -624,6 +624,87 @@ def redact_sql(text_expr: str, out_col: str = "text_redacted") -> dict[str, str]
     return cols
 
 
+# ------------------------------------------------- unigram LM quality score
+def unigram_logprob(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    decimals: int = 6,
+) -> DataFrame:
+    """(id, n_words, logprob_per_word): CCNet-style language-model quality
+    score — the mean log10 corpus-unigram probability of the document's
+    words.  Documents full of rare/garbled tokens score low, fluent
+    in-distribution text scores high; the standard cheap stand-in for a
+    perplexity filter.
+
+    Cross-engine exactness: the per-word log is computed ONCE PER DISTINCT
+    TERM on the frequency relation and quantized to integer micro-units
+    (round(log10(c/total) * 1e6)), so the per-document accumulation is an
+    order-free INTEGER sum — no float-summation-order divergence between
+    engines or partitionings; only the final division is rounded.
+
+    Scale shape: one explode + one term-frequency aggregation (map-side
+    combinable), the corpus total broadcast from a 1-row aggregate, the log
+    computed on the (small) distinct-term relation, and one (doc) groupBy.
+    Wordless documents are absent (no distribution to score)."""
+    words = F.split(F.lower(F.trim(_col(text_col))), " ")
+    toks = df.select(
+        _col(id_col).alias(id_col), F.explode(words).alias("term")
+    ).where(F.length("term") > 0)
+    freq = toks.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
+    total = freq.agg(F.sum("c").alias("_tot"))
+    li = F.round(
+        F.log10(F.col("c").cast("double") / F.col("_tot").cast("double"))
+        * F.lit(1e6)
+    ).cast("bigint")
+    term_lp = freq.join(F.broadcast(total), how="cross").select(
+        "term", li.alias("_li")
+    )
+    per_doc = toks.join(term_lp, "term").groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_words"), F.sum("_li").alias("_slp")
+    )
+    return per_doc.select(
+        id_col,
+        "n_words",
+        F.round(
+            F.col("_slp").cast("double") / F.lit(1e6) / F.col("n_words"),
+            decimals,
+        ).alias("logprob_per_word"),
+    )
+
+
+def unigram_logprob_sql(
+    src: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    decimals: int = 6,
+) -> str:
+    """DuckDB replay of :func:`unigram_logprob` (same tokenization, same
+    integer micro-unit quantization, same division/rounding)."""
+    return f"""WITH sgs_tok AS (
+  SELECT {id_col}, unnest(string_split(lower(trim({text_col})), ' ')) AS term
+  FROM {src}
+),
+sgs_tok2 AS (SELECT * FROM sgs_tok WHERE length(term) > 0),
+sgs_freq AS (SELECT term, count(*) AS c FROM sgs_tok2 GROUP BY term),
+sgs_tot AS (SELECT sum(c) AS tot FROM sgs_freq),
+sgs_lp AS (
+  SELECT term,
+         cast(round(log10(cast(c AS double) / cast(tot AS double)) * 1e6)
+              AS bigint) AS li
+  FROM sgs_freq CROSS JOIN sgs_tot
+),
+sgs_doc AS (
+  SELECT t.{id_col}, count(*) AS n_words, sum(l.li) AS slp
+  FROM sgs_tok2 t JOIN sgs_lp l USING (term)
+  GROUP BY t.{id_col}
+)
+SELECT {id_col}, cast(n_words AS bigint) AS n_words,
+       round(cast(slp AS double) / 1e6 / n_words, {decimals})
+         AS logprob_per_word
+FROM sgs_doc ORDER BY {id_col}"""
+
+
 # ------------------------------------------------------------------- TF-IDF
 def tfidf_top_terms(
     df: DataFrame,

@@ -1457,3 +1457,42 @@ def test_minhash_rowwise_equals_grouped(spark):
     )
     assert list(a["doc_id"]) == [1, 2, 4] and list(b["doc_id"]) == [1, 2, 4]
     pd.testing.assert_frame_equal(a, b[a.columns], check_dtype=False)
+
+
+def test_round5_plans(spark):
+    """Scale claims of the round-5 operators asserted on physical plans:
+    repetition_features is shuffle- and Python-free (per-row HOFs only);
+    winnow_contamination broadcasts BOTH benchmark-side relations (the
+    corpus side is never re-shuffled onto the tiny side); BPE counting is
+    exactly one Python (ArrowEvalPython/mapInPandas) stage."""
+    from sketches_go_spark.operators.bpe import bpe_token_counts
+    from sketches_go_spark.operators.text import (
+        repetition_features,
+        winnow_contamination,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"w{i} x{i} y z a b c d e f g h") for i in range(40)],
+        "doc_id bigint, text string",
+    )
+    plan_r = (
+        repetition_features(docs)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan_r, plan_r
+    assert "Python" not in plan_r, plan_r
+
+    bench = docs.where(F.col("doc_id") < 3).select(
+        F.col("doc_id").alias("bench_id"), "text"
+    )
+    plan_c = (
+        winnow_contamination(docs, bench)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan_c.count("BroadcastExchange") >= 2, plan_c
+
+    plan_b = (
+        bpe_token_counts(docs)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan_b, plan_b
