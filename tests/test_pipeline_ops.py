@@ -1496,3 +1496,52 @@ def test_round5_plans(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "Exchange" not in plan_b, plan_b
+
+
+def test_incremental_dedup_chained_shards(spark):
+    """The warehouse LIFECYCLE: increments applied repeatedly (wave 1 onto
+    the base, wave 2 onto base+wave1, each time merging into the PREVIOUS
+    incremental assignment) must still equal the full recompute over
+    everything — the stored star stays a faithful contraction across
+    generations."""
+    rng = np.random.default_rng(42)
+    bits, d = 16, 3
+    ids = list(range(120))
+    sigs = {i: int(v) for i, v in zip(ids, rng.integers(0, 1 << bits, 120))}
+    waves = [ids[:60], ids[60:90], ids[90:]]
+
+    def sdf(id_list):
+        return spark.createDataFrame(
+            [(i, sigs[i]) for i in id_list], "doc_id bigint, simhash bigint"
+        )
+
+    # stored state from the base wave
+    assignment = dedup.connected_components(
+        dedup.pigeonhole_hamming_pairs(
+            sdf(waves[0]).withColumn("_blk", F.lit(0)),
+            "doc_id", "simhash", bits, d,
+        )
+    )
+    indexed = list(waves[0])
+    for wave in waves[1:]:
+        delta = dedup.simhash_delta_pairs(
+            sdf(indexed), sdf(wave), bits=bits, max_hamming=d
+        )
+        assignment = dedup.incremental_components(assignment, delta)
+        indexed += wave
+
+    inc = {r["node"]: r["component"] for r in assignment.collect()}
+    full = {
+        r["node"]: r["component"]
+        for r in dedup.connected_components(
+            dedup.pigeonhole_hamming_pairs(
+                sdf(ids).withColumn("_blk", F.lit(0)),
+                "doc_id", "simhash", bits, d,
+            )
+        ).collect()
+    }
+    keys = set(ids)
+    assert {k: inc.get(k, k) for k in keys} == {k: full.get(k, k) for k in keys}
+    # sanity: randomness actually produced cross-wave merges to exercise
+    n_nontrivial = sum(1 for k in keys if full.get(k, k) != k)
+    assert n_nontrivial > 10, n_nontrivial
