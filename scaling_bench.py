@@ -72,6 +72,27 @@ def job():
         # iterative closure: alternating large-star/small-star rounds until
         # the edge set is a fixpoint; only (bigint, bigint) rows ever shuffle
         return connected_components(_cc_edges, checkpoint=True).count()
+    if job_kind == "minhash":
+        # the dedup-pipeline scaling shape: per-row HOF MinHash signatures
+        # (CPU-bound hashing, zero shuffle) + the banded bucket summary (one
+        # map-side-combinable min/count aggregation) — production xxhash64
+        # family (the md5 oracle family would measure md5, not the operator).
+        # NOTE: the docs cache has (doc_id, text) only — this branch must
+        # run before the transcripts-shaped src projection below.
+        from sketches_go_spark.operators.dedup import (
+            band_buckets_expr, minhash_signatures_rowwise)
+        from sketches_go_spark.functions.expressions import xxhash64_fn
+        sigs = minhash_signatures_rowwise(
+            t, "doc_id", "text", num_perm=16, hash_fn=xxhash64_fn)
+        b = sigs.select(
+            "doc_id",
+            F.explode(band_buckets_expr(16, 4, xxhash64_fn)).alias("bb"),
+        ).select("doc_id", F.col("bb.band").alias("band"),
+                 F.col("bb.bucket").alias("bucket"))
+        return b.groupBy("band", "bucket").agg(
+            F.min("doc_id").alias("canonical_id"),
+            F.count(F.lit(1)).alias("n_docs"),
+        ).count()
     src = t.select("role", "tool", measure.alias("v"))
     if job_kind == "udaf":
         # CPU-bound per byte: Arrow transfer + vectorized numpy partial build
@@ -178,6 +199,38 @@ spark.stop()
     return cache
 
 
+def materialize_docs(n_docs: int) -> str:
+    """Synthetic DOCUMENTS table for the minhash job: ~40 words per doc from
+    a 200-word vocabulary (hash-chosen, deterministic) — the dedup
+    pipeline's input shape, materialized once like the transcripts cache."""
+    cache = os.path.join(REPO, ".bench_cache", f"synth_docs_{n_docs}.parquet")
+    if os.path.exists(cache):
+        return cache
+    code = f"""
+import sys; sys.path.insert(0, {REPO!r})
+from sketches_go_spark.plans.session import get_spark
+from pyspark.sql import functions as F
+spark = get_spark(cores=32, shuffle_partitions=64)
+spark.sparkContext.setLogLevel("ERROR")
+df = spark.range({n_docs})
+words = F.transform(
+    F.sequence(F.lit(1), F.lit(40)),
+    lambda i: F.concat(
+        F.lit("w"),
+        F.pmod(F.xxhash64(F.col("id") * 64 + i.cast("bigint")), F.lit(200)).cast("string"),
+    ),
+)
+out = df.select(
+    F.col("id").alias("doc_id"),
+    F.array_join(words, " ").alias("text"),
+)
+out.write.mode("overwrite").parquet({cache!r})
+spark.stop()
+"""
+    subprocess.run([sys.executable, "-c", code], check=True)
+    return cache
+
+
 def measure(
     cores: int,
     cache: str,
@@ -224,7 +277,7 @@ def main() -> None:
     ap.add_argument("--reps", type=int, default=5)
     ap.add_argument("--job",
                     choices=["relational", "udaf", "udaf_bins", "skew",
-                             "temporal", "components"],
+                             "temporal", "components", "minhash"],
                     default="relational",
                     help="relational: parquet-scan-bound (bandwidth-limited on "
                          "ONE box); udaf: CPU-bound python path (isolates core "
@@ -244,7 +297,13 @@ def main() -> None:
             "adversarial chain, so smaller --turns would make the "
             "cluster-edge count negative"
         )
-    cache = "" if args.job == "components" else materialize(args.turns)
+    if args.job == "components":
+        cache = ""
+    elif args.job == "minhash":
+        # --turns = document count for the minhash job (~40 words/doc)
+        cache = materialize_docs(args.turns)
+    else:
+        cache = materialize(args.turns)
     if args.job == "skew":
         unsalted = measure(args.high, cache, args.turns, args.reps, "skew_unsalted")
         salted = measure(args.high, cache, args.turns, args.reps, "skew_salted")
@@ -299,6 +358,12 @@ def main() -> None:
     efficiency = speedup / (args.high / args.low)
     if args.job == "temporal":
         job_label = "sessionize end-to-end (window exchange on conv_id + per-session rollup)"
+    elif args.job == "minhash":
+        job_label = (
+            "MinHash-LSH index build (per-row HOF signatures, 16 perms x "
+            "3-gram shingles, xxhash64 family + banded bucket min/count "
+            "summary) over synthetic ~40-word documents (--turns docs)"
+        )
     elif args.job == "components":
         job_label = (
             "connected components (large-star/small-star to exact fixpoint) on a "
@@ -319,7 +384,7 @@ def main() -> None:
 
     if args.no_stamp:
         return
-    unit = "edges" if args.job == "components" else "turns"
+    unit = {"components": "edges", "minhash": "docs"}.get(args.job, "turns")
     stamp = (
         f"\n## Measured scaling run (scaling_bench.py --job {args.job}, {args.turns:,} synthetic {unit})\n\n"
         f"| parallelism | best sec (of {args.reps}, after warm-up) | {unit}/sec |\n|---|---|---|\n"
