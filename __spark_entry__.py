@@ -1721,6 +1721,25 @@ def q_pack_sequences_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id", "pack_id")
 
 
+def q_sample_weighted_by_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic WEIGHTED sampling without replacement (Efraimidis-
+    Spirakis A-Res, the classic distributed weighted-draw): top-5 docs per
+    language weighted by quality score — the 'sample the best-ish data, not
+    uniformly' op of curriculum/mixture construction.  The randomness is
+    the id hash, so the draw is reproducible across engines and
+    partitionings, and the rounded key makes the ranking libm-ulp-proof."""
+    docs = ops_text.quality_features(_docs(spark, sf_dir)).select(
+        "doc_id", "lang", "quality_score"
+    )
+    return (
+        sampling.weighted_sample(
+            docs, "quality_score", k=5, group_cols=["lang"]
+        )
+        .select("lang", "doc_id", "quality_score", "wkey", "rk")
+        .orderBy("lang", "rk")
+    )
+
+
 def q_text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style unigram LM quality score: mean log10 corpus-unigram
     probability per document — the cheap perplexity-filter stand-in.  The
@@ -2288,6 +2307,7 @@ _ROUND5_WINDOW = [
     "streaming_dedup_minhash",
     "text_unigram_logprob",
     "ddsketch_bpe_tokens_by_source",
+    "sample_weighted_by_quality",
     # --- code path changed this round
     "chunk_documents",
     "streaming_append_daily_quantiles",
@@ -2331,7 +2351,6 @@ _ROUND5_WINDOW = [
     "ddsketch_weighted_bins",
     "hll_registers_convs_by_role",
     "hll_distinct_convs_by_role",
-    "hll_udaf_distinct_by_role",
 ]
 
 
@@ -2387,6 +2406,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences_bpe": q_pack_sequences_bpe,
         "text_unigram_logprob": q_text_unigram_logprob,
         "ddsketch_bpe_tokens_by_source": q_ddsketch_bpe_tokens_by_source,
+        "sample_weighted_by_quality": q_sample_weighted_by_quality,
         "ddsketch_cdf_by_event_type": q_ddsketch_cdf_by_event_type,
         "streaming_dedup_exact": q_streaming_dedup_exact,
         "streaming_dedup_minhash": q_streaming_dedup_minhash,
@@ -3133,6 +3153,16 @@ ORDER BY l_returnflag, l_linestatus""",
         + " ORDER BY doc_id, pack_id",
         "text_bpe_token_counts": ops_bpe.bpe_token_counts_sql("documents"),
         "text_unigram_logprob": ops_text.unigram_logprob_sql("documents"),
+        "sample_weighted_by_quality": sampling.weighted_sample_sql(
+            "SELECT doc_id, lang, "
+            + opl.quality_features_sql("text")["quality_score"]
+            + " AS quality_score FROM documents",
+            weight_expr="quality_score",
+            k=5,
+            group_cols=["lang"],
+            select_cols="lang, doc_id, quality_score, wkey, rk",
+        )
+        + " ORDER BY lang, rk",
         "ddsketch_bpe_tokens_by_source": oracles.ddsketch_quantiles_sql(
             "SELECT d.source, cast(b.n_bpe_tokens AS double) AS v FROM ("
             + ops_bpe.bpe_token_counts_sql("documents")

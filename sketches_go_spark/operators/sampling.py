@@ -167,3 +167,79 @@ def rebalanced_sample(
         .where(bucket < F.col("_thr"))
         .drop("_thr")
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    weight_col: str | Column,
+    k: int = 5,
+    group_cols: Sequence[str] = (),
+    id_col: str | Column = "doc_id",
+    salt: str = "wsample:",
+    hash_fn=None,
+    decimals: int = 9,
+) -> DataFrame:
+    """Deterministic WEIGHTED sampling without replacement (Efraimidis-
+    Spirakis A-Res): each row gets the key ``ln(u) / w`` where ``u`` is its
+    id's deterministic hash uniform in (0, 1] and ``w`` its weight; the
+    ``k`` largest keys per group are exactly a weighted
+    without-replacement draw (ranking by ``ln(u)/w`` is order-equivalent to
+    the classic ``u^(1/w)``, but numerically stabler for tiny weights).
+
+    Same contract as every sampler here: reproducible under any
+    partitioning/engine (the "randomness" is the id hash), entity-aligned
+    across tables, and oracle-replayable.  Rows with ``w <= 0`` or null are
+    excluded (zero-weight items are never drawn).  The emitted ``wkey`` is
+    rounded so cross-engine libm ulp differences can't reorder the ranking
+    (ties broken by id).
+
+    Scale shape: one projection + one top-k window per group — identical to
+    :func:`stratified_topk`; a single giant group serializes into one
+    reducer like any global top-k (shard first if k is huge)."""
+    hash_fn = hash_fn or portable_hash64
+    w = _col(weight_col).cast("double")
+    u = (hash_fn(_col(id_col), salt) + F.lit(1)).cast("double") / F.lit(
+        float(1 << 60)
+    )
+    key = F.round(F.log(u) / w, decimals)
+    d = df.where(w.isNotNull() & (w > 0)).withColumn("wkey", key)
+    win = Window.partitionBy(*group_cols).orderBy(
+        F.col("wkey").desc(), _col(id_col).asc()
+    )
+    return (
+        d.withColumn("rk", F.row_number().over(win).cast("int"))
+        .where(F.col("rk") <= k)
+    )
+
+
+def weighted_sample_sql(
+    src_sql: str,
+    weight_expr: str,
+    k: int = 5,
+    group_cols: Sequence[str] = (),
+    id_col: str = "doc_id",
+    salt: str = "wsample:",
+    decimals: int = 9,
+    select_cols: str = "*",
+) -> str:
+    """DuckDB replay of :func:`weighted_sample` over ``src_sql`` (a SELECT
+    yielding at least the id, group and weight columns)."""
+    h = (
+        f"cast(concat('0x', substr(md5(concat('{salt}', "
+        f"cast({id_col} AS string))), 1, 15)) AS bigint)"
+    )
+    part = (
+        f"PARTITION BY {', '.join(group_cols)} " if group_cols else ""
+    )
+    return f"""WITH sgs_w AS (
+  SELECT *, round(ln(cast({h} + 1 AS double) / {float(1 << 60)})
+                  / cast({weight_expr} AS double), {decimals}) AS wkey
+  FROM ({src_sql})
+  WHERE {weight_expr} IS NOT NULL AND cast({weight_expr} AS double) > 0
+),
+sgs_rk AS (
+  SELECT *, cast(row_number() OVER (
+    {part}ORDER BY wkey DESC, {id_col} ASC) AS int) AS rk
+  FROM sgs_w
+)
+SELECT {select_cols} FROM sgs_rk WHERE rk <= {k}"""

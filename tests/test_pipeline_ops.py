@@ -1545,3 +1545,45 @@ def test_incremental_dedup_chained_shards(spark):
     # sanity: randomness actually produced cross-wave merges to exercise
     n_nontrivial = sum(1 for k in keys if full.get(k, k) != k)
     assert n_nontrivial > 10, n_nontrivial
+
+
+def test_weighted_sample_exact_replay_and_bias(spark):
+    """weighted_sample == the A-Res formula replayed in pure Python
+    (hash -> uniform -> ln(u)/w -> top-k), and across many salts the
+    heavy-weight item is drawn roughly in proportion to its weight."""
+    import hashlib as _hl
+    import math
+
+    from sketches_go_spark.operators import sampling
+
+    n = 12
+    weights = {i: (10.0 if i == 0 else 1.0) for i in range(n)}
+    df = spark.createDataFrame(
+        [(i, weights[i]) for i in range(n)], "doc_id bigint, w double"
+    )
+
+    def replay(salt: str, k: int) -> list[int]:
+        keyed = []
+        for i, w in weights.items():
+            h = int(_hl.md5(f"{salt}{i}".encode()).hexdigest()[:15], 16)
+            u = (h + 1) / float(1 << 60)
+            keyed.append((round(math.log(u) / w, 9), -i))
+        keyed.sort(reverse=True)
+        return [-x for _, x in keyed[:k]]
+
+    got = sorted(
+        r["doc_id"]
+        for r in sampling.weighted_sample(df, "w", k=4, salt="t0:").collect()
+    )
+    assert got == sorted(replay("t0:", 4)), (got, replay("t0:", 4))
+
+    # bias: P(heavy drawn at k=1) = 10/21; over 40 salts expect ~19
+    hits = sum(1 for s in range(40) if replay(f"s{s}:", 1) == [0])
+    assert 8 <= hits <= 32, hits
+    # and the Spark path agrees with the replay on a few of those salts
+    for s in ("s3:", "s17:"):
+        spark_top = [
+            r["doc_id"]
+            for r in sampling.weighted_sample(df, "w", k=1, salt=s).collect()
+        ]
+        assert spark_top == replay(s, 1)
