@@ -641,7 +641,12 @@ def unigram_logprob(
     TERM on the frequency relation and quantized to integer micro-units
     (round(log10(c/total) * 1e6)), so the per-document accumulation is an
     order-free INTEGER sum — no float-summation-order divergence between
-    engines or partitionings; only the final division is rounded.
+    engines or partitionings; only the final division is rounded.  That
+    final rounding uses an explicit sign·floor(abs+0.5) half-away rule on
+    the integer-ratio double (exact: the ratio is either exactly x.5 —
+    representable — or ≥1/(2n) from a half, far beyond the ~2e-9 division
+    ulp), because engine round() functions disagree on exact decimal halves
+    (Spark BigDecimal HALF_UP vs DuckDB's float-multiply path).
 
     Scale shape: one explode + one term-frequency aggregation (map-side
     combinable), the corpus total broadcast from a 1-row aggregate, the log
@@ -663,13 +668,16 @@ def unigram_logprob(
     per_doc = toks.join(term_lp, "term").groupBy(id_col).agg(
         F.count(F.lit(1)).alias("n_words"), F.sum("_li").alias("_slp")
     )
+    # integer ratio in 10^decimals units, portable half-away rounding
+    den = F.col("n_words") * F.lit(10 ** (6 - decimals)).cast("bigint")
+    mean = F.col("_slp").cast("double") / den.cast("double")
+    micro = (F.signum(mean) * F.floor(F.abs(mean) + F.lit(0.5))).cast("bigint")
     return per_doc.select(
         id_col,
         "n_words",
-        F.round(
-            F.col("_slp").cast("double") / F.lit(1e6) / F.col("n_words"),
-            decimals,
-        ).alias("logprob_per_word"),
+        (micro.cast("double") / F.lit(float(10 ** decimals))).alias(
+            "logprob_per_word"
+        ),
     )
 
 
@@ -698,11 +706,17 @@ sgs_doc AS (
   SELECT t.{id_col}, count(*) AS n_words, sum(l.li) AS slp
   FROM sgs_tok2 t JOIN sgs_lp l USING (term)
   GROUP BY t.{id_col}
+),
+sgs_mean AS (
+  SELECT {id_col}, n_words,
+         cast(slp AS double)
+           / cast(n_words * {10 ** (6 - decimals)} AS double) AS m
+  FROM sgs_doc
 )
 SELECT {id_col}, cast(n_words AS bigint) AS n_words,
-       round(cast(slp AS double) / 1e6 / n_words, {decimals})
-         AS logprob_per_word
-FROM sgs_doc ORDER BY {id_col}"""
+       cast(sign(m) * floor(abs(m) + 0.5) AS bigint)
+         / cast({10 ** decimals} AS double) AS logprob_per_word
+FROM sgs_mean ORDER BY {id_col}"""
 
 
 # ------------------------------------------------------------------- TF-IDF
