@@ -575,6 +575,7 @@ def connected_components(
     max_iters: int = 50,
     checkpoint: bool = True,
     checkpoint_dir: str | None = None,
+    pointer_jump: bool = True,
 ) -> DataFrame:
     """(node, component) for every node on a non-self-loop edge — component
     is the MINIMUM node id reachable, so the labeling is deterministic and
@@ -615,7 +616,24 @@ def connected_components(
     payloads; each round is map-side-combinable min-aggregation, so the wide
     exchange carries one row per distinct node, and skewed star centers
     (one huge near-dup cluster) are exactly the high-fanout nodes large-star
-    is designed to split across reducers."""
+    is designed to split across reducers.
+
+    ``pointer_jump`` (default on) appends one pointer-doubling step per
+    round: with ``m(x)`` the minimum out-neighbor of ``x`` in the round's
+    relation (small-star output always points strictly downward, so ``m`` is
+    a parent map), the relation becomes
+    ``{(u, m(v)) : (u,v)} ∪ {(u, m(u)) : u}`` — every edge jumps to its
+    target's parent while every node keeps an edge to its own parent, so
+    components are preserved EXACTLY (u–m(v) via the jumped edge, v–m(v) via
+    v's parent edge) while pointer depth roughly quadruples-per-round instead
+    of doubling.  On chain-shaped graphs (the adversarial case that made the
+    plain alternation round-latency-bound: 17 rounds on a 65,535-node chain)
+    this halves the serial round count for one extra min-aggregation and one
+    self-join per round — the right trade when wall time is dominated by
+    serial job submissions, which the components scaling stamp in BASELINE.md
+    shows it is.  Convergence detection is unchanged (exact relation
+    equality), and a converged min-star is a fixed point of the composite
+    step, so the result labeling is identical with or without the jump."""
     import json
     import os
     import time
@@ -716,6 +734,22 @@ def connected_components(
             .distinct()
         )
 
+    def _jump(df: DataFrame) -> DataFrame:
+        # (u,v) -> (u, m(v)) plus parent edges (u, m(u)); m(x) < x always
+        # (small-star output is strictly downward-pointing), so orientation
+        # u > v is preserved and targets only ever decrease toward the
+        # component minimum.
+        mins = df.groupBy("u").agg(F.min("v").alias("m"))
+        jumped = df.join(
+            mins.select(F.col("u").alias("v"), "m"), "v", "left"
+        ).select("u", F.coalesce("m", "v").alias("v"))
+        parents = mins.select("u", F.col("m").alias("v"))
+        return (
+            jumped.union(parents)
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+        )
+
     if checkpoint_dir is None and checkpoint:
         e = e.localCheckpoint(eager=True)
     e0 = (
@@ -728,6 +762,8 @@ def connected_components(
     for i in range(max(start_round, 1), max_iters + 1):
         t0 = time.time()
         nxt = _small_star(_large_star(e))
+        if pointer_jump:
+            nxt = _jump(nxt)
         if checkpoint_dir is not None:
             nxt = _commit_round(nxt, i, time.time() - t0, False)
         elif checkpoint:
