@@ -1740,6 +1740,23 @@ def q_sample_weighted_by_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sample_token_budget_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture construction in the units mixtures are specified in: greedy
+    deterministic fill of a 600-token budget PER SOURCE, walking docs in
+    hash order and keeping each while the tokens before it are under
+    budget (overshoot <= 1 doc).  Count-based rebalance can't express
+    'equal token mass per provider' when doc lengths differ by source;
+    this can, stays nested across budgets, and is hash-replayable."""
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", "source", ops_text.token_count(F.col("text")).alias("nt")
+    )
+    return (
+        sampling.token_budget_sample(docs, ["source"], "nt", budget=600)
+        .select("source", "doc_id", "n_tokens", "tokens_before")
+        .orderBy("source", "doc_id")
+    )
+
+
 def q_text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style unigram LM quality score: mean log10 corpus-unigram
     probability per document — the cheap perplexity-filter stand-in.  The
@@ -2308,6 +2325,7 @@ _ROUND5_WINDOW = [
     "text_unigram_logprob",
     "ddsketch_bpe_tokens_by_source",
     "sample_weighted_by_quality",
+    "sample_token_budget_by_source",
     # --- code path changed this round
     "chunk_documents",
     "streaming_append_daily_quantiles",
@@ -2350,7 +2368,6 @@ _ROUND5_WINDOW = [
     "ddsketch_collapsed_highest_bins",
     "ddsketch_weighted_bins",
     "hll_registers_convs_by_role",
-    "hll_distinct_convs_by_role",
 ]
 
 
@@ -2407,6 +2424,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_unigram_logprob": q_text_unigram_logprob,
         "ddsketch_bpe_tokens_by_source": q_ddsketch_bpe_tokens_by_source,
         "sample_weighted_by_quality": q_sample_weighted_by_quality,
+        "sample_token_budget_by_source": q_sample_token_budget_by_source,
         "ddsketch_cdf_by_event_type": q_ddsketch_cdf_by_event_type,
         "streaming_dedup_exact": q_streaming_dedup_exact,
         "streaming_dedup_minhash": q_streaming_dedup_minhash,
@@ -3163,6 +3181,16 @@ ORDER BY l_returnflag, l_linestatus""",
             select_cols="lang, doc_id, quality_score, wkey, rk",
         )
         + " ORDER BY lang, rk",
+        "sample_token_budget_by_source": sampling.token_budget_sample_sql(
+            "SELECT doc_id, source, "
+            + ops_text.token_count_sql("text")
+            + " AS nt FROM documents",
+            group_cols=["source"],
+            token_expr="nt",
+            budget=600,
+            select_cols="source, doc_id, n_tokens, tokens_before",
+        )
+        + " ORDER BY source, doc_id",
         "ddsketch_bpe_tokens_by_source": oracles.ddsketch_quantiles_sql(
             "SELECT d.source, cast(b.n_bpe_tokens AS double) AS v FROM ("
             + ops_bpe.bpe_token_counts_sql("documents")

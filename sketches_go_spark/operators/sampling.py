@@ -212,6 +212,95 @@ def weighted_sample(
     )
 
 
+def token_budget_sample(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    token_col: str | Column,
+    budget: int,
+    id_col: str | Column = "doc_id",
+    salt: str = "tokbudget:",
+    hash_fn=None,
+) -> DataFrame:
+    """Deterministic greedy TOKEN-BUDGET fill per group: walk each group's
+    rows in hash order and keep a row while the tokens accumulated BEFORE it
+    are still under ``budget`` — the "hit N tokens of src X in the training
+    mixture" op (budgets are over tokens, not document counts, which is what
+    mixture specs are written in; :func:`rebalanced_sample` is the
+    count-based sibling).  The kept set overshoots by at most one document
+    per group, is reproducible under any partitioning/engine (ordering is
+    the id hash, ties broken by id), and is NESTED: a larger budget keeps a
+    superset of a smaller one, because the hash order is budget-independent.
+
+    Adds ``n_tokens`` (the row's token count) and ``tokens_before`` (group
+    tokens accumulated before it in hash order) for auditability.
+
+    Scale shape: ONE window shuffle partitioned on the group keys — the
+    running sum is a per-group sorted prefix scan, so like any per-group
+    ordered scan a single giant group serializes into one reducer; at
+    100 TB shard hot groups first (e.g. split a dominant source into
+    ``(source, h % n_shards)`` subgroups with ``budget / n_shards`` each —
+    hash-order nesting makes the union exactly the unsharded fill per
+    shard)."""
+    if budget <= 0:
+        raise ValueError("budget must be positive")
+    reserved = {"n_tokens", "tokens_before", "_tbh"} & set(df.columns)
+    if reserved:
+        raise ValueError(
+            "df must not carry columns named "
+            + ", ".join(sorted(reserved))
+            + " (reserved for token_budget_sample's prefix scan)"
+        )
+    hash_fn = hash_fn or portable_hash64
+    h = hash_fn(_col(id_col), salt)
+    d = df.withColumn("n_tokens", _col(token_col).cast("bigint")).withColumn(
+        "_tbh", h
+    )
+    w = (
+        Window.partitionBy(*group_cols)
+        .orderBy(F.col("_tbh").asc(), _col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        d.withColumn(
+            "tokens_before", F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+        )
+        .where(F.col("tokens_before") < F.lit(int(budget)))
+        .drop("_tbh")
+    )
+
+
+def token_budget_sample_sql(
+    src_sql: str,
+    group_cols: Sequence[str],
+    token_expr: str,
+    budget: int,
+    id_col: str = "doc_id",
+    salt: str = "tokbudget:",
+    select_cols: str = "*",
+) -> str:
+    """DuckDB replay of :func:`token_budget_sample` over ``src_sql`` (a
+    SELECT yielding the id, group and token-count columns).  The window sum
+    is cast to bigint (DuckDB widens sum(bigint) to HUGEINT)."""
+    from sketches_go_spark.functions.expressions import (
+        portable_hash64_sql_duckdb,
+    )
+
+    h = portable_hash64_sql_duckdb(id_col, salt)
+    part = ", ".join(group_cols)
+    return f"""WITH sgs_tb AS (
+  SELECT *, cast({token_expr} AS bigint) AS n_tokens, {h} AS _tbh
+  FROM ({src_sql})
+),
+sgs_pre AS (
+  SELECT *, cast(coalesce(sum(n_tokens) OVER (
+    PARTITION BY {part} ORDER BY _tbh ASC, {id_col} ASC
+    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bigint)
+    AS tokens_before
+  FROM sgs_tb
+)
+SELECT {select_cols} FROM sgs_pre WHERE tokens_before < {int(budget)}"""
+
+
 def weighted_sample_sql(
     src_sql: str,
     weight_expr: str,

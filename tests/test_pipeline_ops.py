@@ -1547,6 +1547,80 @@ def test_incremental_dedup_chained_shards(spark):
     assert n_nontrivial > 10, n_nontrivial
 
 
+def test_token_budget_sample_invariants(spark):
+    """token_budget_sample: exact pure-Python greedy replay, per-group
+    overshoot <= 1 doc, nesting across budgets, partition invariance, and
+    the reserved-column guard."""
+    import hashlib as _hl
+
+    import pytest as _pytest
+
+    from sketches_go_spark.operators import sampling
+
+    rng = np.random.default_rng(41)
+    rows = [
+        (i, f"g{i % 3}", int(rng.integers(5, 40))) for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, grp string, nt bigint")
+
+    def replay(budget: int) -> dict[int, int]:
+        kept = {}
+        for g in ("g0", "g1", "g2"):
+            docs = [
+                (int(_hl.md5(f"tokbudget:{i}".encode()).hexdigest()[:15], 16), i, t)
+                for i, gg, t in rows
+                if gg == g
+            ]
+            docs.sort()
+            acc = 0
+            for _, i, t in docs:
+                if acc < budget:
+                    kept[i] = acc
+                acc += t
+        return kept
+
+    for budget in (1, 60, 200, 10**6):
+        got = {
+            r["doc_id"]: r["tokens_before"]
+            for r in sampling.token_budget_sample(
+                df, ["grp"], "nt", budget=budget
+            ).collect()
+        }
+        assert got == replay(budget), budget
+
+    # keep rule: every kept row started strictly under budget, and all but
+    # each group's last kept row finished under it too (overshoot <= 1 doc)
+    out = sampling.token_budget_sample(df, ["grp"], "nt", budget=200)
+    pdf = out.toPandas()
+    for g, sub in pdf.groupby("grp"):
+        assert sub["tokens_before"].max() < 200
+        ends = (sub["tokens_before"] + sub["n_tokens"]).sort_values()
+        assert ends.iloc[:-1].lt(200).all()
+
+    # nesting: smaller budget keeps a subset of the larger one's docs
+    small = set(
+        r["doc_id"]
+        for r in sampling.token_budget_sample(df, ["grp"], "nt", budget=60).collect()
+    )
+    assert small <= set(pdf["doc_id"])
+
+    # partition invariance
+    re = {
+        r["doc_id"]: r["tokens_before"]
+        for r in sampling.token_budget_sample(
+            df.repartition(17), ["grp"], "nt", budget=200
+        ).collect()
+    }
+    assert re == {r["doc_id"]: r["tokens_before"] for _, r in pdf.iterrows()}
+
+    with _pytest.raises(ValueError):
+        sampling.token_budget_sample(
+            df.withColumn("n_tokens", F.lit(1)), ["grp"], "nt", budget=10
+        )
+    with _pytest.raises(ValueError):
+        sampling.token_budget_sample(df, ["grp"], "nt", budget=0)
+
+
 def test_weighted_sample_exact_replay_and_bias(spark):
     """weighted_sample == the A-Res formula replayed in pure Python
     (hash -> uniform -> ln(u)/w -> top-k), and across many salts the
