@@ -276,11 +276,12 @@ def token_budget_sample_sql(
     budget: int,
     id_col: str = "doc_id",
     salt: str = "tokbudget:",
-    select_cols: str = "*",
+    select_cols: str = "* EXCLUDE (_tbh)",
 ) -> str:
     """DuckDB replay of :func:`token_budget_sample` over ``src_sql`` (a
     SELECT yielding the id, group and token-count columns).  The window sum
-    is cast to bigint (DuckDB widens sum(bigint) to HUGEINT)."""
+    is cast to bigint (DuckDB widens sum(bigint) to HUGEINT); the default
+    projection EXCLUDEs the internal hash column the Spark side drops."""
     from sketches_go_spark.functions.expressions import (
         portable_hash64_sql_duckdb,
     )
