@@ -575,7 +575,7 @@ def connected_components(
     max_iters: int = 50,
     checkpoint: bool = True,
     checkpoint_dir: str | None = None,
-    pointer_jump: bool = True,
+    pointer_jump: bool = False,
 ) -> DataFrame:
     """(node, component) for every node on a non-self-loop edge — component
     is the MINIMUM node id reachable, so the labeling is deterministic and
@@ -618,7 +618,7 @@ def connected_components(
     (one huge near-dup cluster) are exactly the high-fanout nodes large-star
     is designed to split across reducers.
 
-    ``pointer_jump`` (default on) appends one pointer-doubling step per
+    ``pointer_jump`` (default OFF) appends one pointer-doubling step per
     round: with ``m(x)`` the minimum out-neighbor of ``x`` in the round's
     relation (small-star output always points strictly downward, so ``m`` is
     a parent map), the relation becomes
@@ -626,14 +626,22 @@ def connected_components(
     target's parent while every node keeps an edge to its own parent, so
     components are preserved EXACTLY (u–m(v) via the jumped edge, v–m(v) via
     v's parent edge) while pointer depth roughly quadruples-per-round instead
-    of doubling.  On chain-shaped graphs (the adversarial case that made the
-    plain alternation round-latency-bound: 17 rounds on a 65,535-node chain)
-    this halves the serial round count for one extra min-aggregation and one
-    self-join per round — the right trade when wall time is dominated by
-    serial job submissions, which the components scaling stamp in BASELINE.md
-    shows it is.  Convergence detection is unchanged (exact relation
+    of doubling.  Convergence detection is unchanged (exact relation
     equality), and a converged min-star is a fixed point of the composite
-    step, so the result labeling is identical with or without the jump."""
+    step, so the result labeling is identical with or without the jump.
+
+    When to flip it on — MEASURED, not guessed: the jump trades ~2 extra
+    shuffle stages per round (a min-aggregation + a self-join) for a ~40%
+    round-count cut, so it wins only when the graph's DIAMETER makes round
+    count dominate wall time.  On a bare 65,536-node chain it cut rounds
+    18 → 11 and wall 35.1 s → 26.0 s (local[8]); on the 4M-edge mixed graph
+    the star edges keep every round's data volume at ~4M rows, and the jump
+    cut rounds 17 → 10 but LOST wall time at local[8] (149 s → 193 s) while
+    roughly tying at local[32] (134 s → 127 s); on the real sf0.1 dedup
+    query (<5 rounds, small edges) it loses ~17% outright — real near-dup
+    graphs converge in a handful of rounds, where extra fixed stage latency
+    is pure overhead.  Default off; reach for it only on adversarial-
+    diameter graphs (long chains / deep hierarchies)."""
     import json
     import os
     import time

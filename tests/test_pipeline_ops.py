@@ -474,6 +474,14 @@ def test_connected_components_vs_union_find(spark):
         for r in dedup.connected_components(df).collect()
     }
     assert got == exact
+    # the opt-in pointer-jump path must produce the identical labeling
+    # (it composes the relation with its own min-parent map, which
+    # preserves components exactly — this pins the claim)
+    jumped = {
+        r["node"]: r["component"]
+        for r in dedup.connected_components(df, pointer_jump=True).collect()
+    }
+    assert jumped == exact
 
 
 def test_connected_components_partition_invariance(spark):
