@@ -125,7 +125,15 @@ def main() -> None:
     # scaling levels first — cleanest window (see _run_scaling docstring)
     scaling = _run_scaling() if SCALING else None
 
-    spark = get_spark(cores=CPUS, shuffle_partitions=2 * CPUS, app_name="sgs-bench")
+    spark = get_spark(
+        cores=CPUS,
+        shuffle_partitions=2 * CPUS,
+        app_name="sgs-bench",
+        # keep \r console-progress bars out of the captured output — the
+        # driver parses the LAST stdout line as JSON, and a merged-stderr
+        # capture would glue progress frames onto it
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
     spark.sparkContext.setLogLevel("ERROR")
 
     qfns = entry.queries()
@@ -349,6 +357,7 @@ def main() -> None:
         "sim_ivf_trained_topk",
         "pack_sequences_bpe",
         "streaming_dedup_minhash",
+        "sample_token_budget_by_source",
     ):
         best, steal = timed(lambda: qfns[name](spark, SF_DIR), 2)
         pipeline_timings[name] = round(best, 3)
