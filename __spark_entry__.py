@@ -24,6 +24,7 @@ from sketches_go_spark.core.ddsketch import DDSketchConfig
 from sketches_go_spark.functions import ddsketch_fns as dd
 from sketches_go_spark.functions import oracles
 from sketches_go_spark.functions import sketch_fns as sk
+from sketches_go_spark.operators import assemble as ops_assemble
 from sketches_go_spark.operators import bpe as ops_bpe
 from sketches_go_spark.operators import dedup
 from sketches_go_spark.operators import multimodal as mm
@@ -1792,6 +1793,19 @@ def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id", "chunk_idx")
 
 
+def q_transcript_sft_render(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transcript assembly — the turns->training-examples last mile: each
+    conversation collapsed to ONE role-tagged rendered SFT example plus the
+    example-level features loaders bucket on (turn count, tool-call count,
+    duration, rendered length).  One conv_id-keyed shuffle; the turn-order
+    sort runs inside each group's array, never as a global exchange
+    (operators/assemble.py)."""
+    t = transcripts_from_events(spark, sf_dir)
+    return ops_assemble.assemble_conversations(t, max_turns=64).orderBy(
+        "conv_id"
+    )
+
+
 def q_text_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing (rolling-hash family) fingerprint sets per document —
     substring-level dedup keys; exact portable-hash oracle."""
@@ -2326,6 +2340,7 @@ _ROUND5_WINDOW = [
     "ddsketch_bpe_tokens_by_source",
     "sample_weighted_by_quality",
     "sample_token_budget_by_source",
+    "transcript_sft_render",
     # --- code path changed this round
     "chunk_documents",
     "streaming_append_daily_quantiles",
@@ -2367,7 +2382,6 @@ _ROUND5_WINDOW = [
     "ddsketch_collapsed_bins",
     "ddsketch_collapsed_highest_bins",
     "ddsketch_weighted_bins",
-    "hll_registers_convs_by_role",
 ]
 
 
@@ -2386,6 +2400,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_winnow_fingerprints": q_text_winnow_fingerprints,
         "text_winnow_containment": q_text_winnow_containment,
         "text_repetition": q_text_repetition,
+        "transcript_sft_render": q_transcript_sft_render,
         "text_benchmark_contamination": q_text_benchmark_contamination,
         "dedup_components": q_dedup_components,
         "dedup_incremental_shard": q_dedup_incremental_shard,
@@ -3208,6 +3223,10 @@ ORDER BY l_returnflag, l_linestatus""",
         )
         + " ORDER BY doc_id, pack_id",
         "ddsketch_cdf_by_event_type": _cdf_oracle_sql(),
+        "transcript_sft_render": ops_assemble.assemble_conversations_sql(
+            transcripts_sql("events"), max_turns=64
+        )
+        + " ORDER BY conv_id",
         "chunk_documents": packing.chunk_documents_sql(
             "documents", chunk_tokens=64, stride=48
         )

@@ -358,6 +358,7 @@ def main() -> None:
         "pack_sequences_bpe",
         "streaming_dedup_minhash",
         "sample_token_budget_by_source",
+        "transcript_sft_render",
     ):
         best, steal = timed(lambda: qfns[name](spark, SF_DIR), 2)
         pipeline_timings[name] = round(best, 3)

@@ -1669,3 +1669,43 @@ def test_weighted_sample_exact_replay_and_bias(spark):
             for r in sampling.weighted_sample(df, "w", k=1, salt=s).collect()
         ]
         assert spark_top == replay(s, 1)
+
+
+def test_assemble_conversations_cap_and_render(spark):
+    from sketches_go_spark.operators import assemble
+
+    rows = [
+        ("c1", 1, "assistant", "hi there", None, "2024-01-01 00:00:05"),
+        ("c1", 0, "user", "hello", None, "2024-01-01 00:00:00"),
+        ("c1", 2, "tool", "ran", "tool-3", "2024-01-01 00:01:00"),
+        ("c2", 0, "user", "solo", None, "2024-01-02 00:00:00"),
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, tool string, ts string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+
+    full = {r["conv_id"]: r for r in assemble.assemble_conversations(df).collect()}
+    # render is turn_idx-ordered regardless of input order; tool turns carry
+    # the :tool suffix
+    assert full["c1"]["sft_text"] == (
+        "<|user|>hello\n<|assistant|>hi there\n<|tool:tool-3|>ran"
+    )
+    assert full["c1"]["n_turns"] == 3
+    assert full["c1"]["n_tool_turns"] == 1
+    assert full["c1"]["duration_us"] == 60_000_000
+    assert full["c2"]["sft_text"] == "<|user|>solo"
+    assert full["c2"]["duration_us"] == 0
+
+    # the cap truncates the RENDER (head-keep) but not the conversation-level
+    # stats: duration still spans all turns
+    capped = {
+        r["conv_id"]: r
+        for r in assemble.assemble_conversations(df, max_turns=2).collect()
+    }
+    assert capped["c1"]["n_turns"] == 2
+    assert capped["c1"]["sft_text"] == "<|user|>hello\n<|assistant|>hi there"
+    assert capped["c1"]["n_tool_turns"] == 1
+    assert capped["c1"]["duration_us"] == 60_000_000
+
+    with pytest.raises(ValueError):
+        assemble.assemble_conversations(df, max_turns=0)
