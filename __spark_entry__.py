@@ -1806,6 +1806,23 @@ def q_transcript_sft_render(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_conversations_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversation-level near-dup detection — the transcripts-payload twin
+    of document MinHash-LSH: render each conversation to its role-tagged
+    text (operators/assemble.py), then MinHash(16)+LSH(4x4) over the
+    rendered strings, exact-Jaccard verified >= 0.5.  The synthetic corpus
+    has no near-dup conversations, so known positives are planted
+    deterministically (hash-picked convs cloned minus their final turn) —
+    the oracle replays the exact same planted set."""
+    t = transcripts_from_events(spark, sf_dir)
+    planted = ops_assemble.plant_neardup_conversations(t, every=5)
+    conv = ops_assemble.assemble_conversations(planted)
+    docs = conv.select(
+        F.col("conv_id").alias("doc_id"), F.col("sft_text").alias("text")
+    )
+    return dedup.minhash_lsh_pairs(docs, threshold=0.5).orderBy("id_a", "id_b")
+
+
 def q_text_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing (rolling-hash family) fingerprint sets per document —
     substring-level dedup keys; exact portable-hash oracle."""
@@ -2341,6 +2358,7 @@ _ROUND5_WINDOW = [
     "sample_weighted_by_quality",
     "sample_token_budget_by_source",
     "transcript_sft_render",
+    "dedup_conversations_minhash",
     # --- code path changed this round
     "chunk_documents",
     "streaming_append_daily_quantiles",
@@ -2381,7 +2399,6 @@ _ROUND5_WINDOW = [
     "retention_weekly",
     "ddsketch_collapsed_bins",
     "ddsketch_collapsed_highest_bins",
-    "ddsketch_weighted_bins",
 ]
 
 
@@ -2401,6 +2418,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_winnow_containment": q_text_winnow_containment,
         "text_repetition": q_text_repetition,
         "transcript_sft_render": q_transcript_sft_render,
+        "dedup_conversations_minhash": q_dedup_conversations_minhash,
         "text_benchmark_contamination": q_text_benchmark_contamination,
         "dedup_components": q_dedup_components,
         "dedup_incremental_shard": q_dedup_incremental_shard,
@@ -3227,6 +3245,16 @@ ORDER BY l_returnflag, l_linestatus""",
             transcripts_sql("events"), max_turns=64
         )
         + " ORDER BY conv_id",
+        "dedup_conversations_minhash": opl.minhash_lsh_oracle(
+            src="(SELECT conv_id AS doc_id, sft_text AS text FROM ("
+            + ops_assemble.assemble_conversations_sql(
+                ops_assemble.plant_neardup_conversations_sql(
+                    transcripts_sql("events"), every=5
+                )
+            )
+            + "))",
+            threshold=0.5,
+        ),
         "chunk_documents": packing.chunk_documents_sql(
             "documents", chunk_tokens=64, stride=48
         )

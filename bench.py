@@ -359,6 +359,7 @@ def main() -> None:
         "streaming_dedup_minhash",
         "sample_token_budget_by_source",
         "transcript_sft_render",
+        "dedup_conversations_minhash",
     ):
         best, steal = timed(lambda: qfns[name](spark, SF_DIR), 2)
         pipeline_timings[name] = round(best, 3)

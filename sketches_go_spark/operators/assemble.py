@@ -28,6 +28,11 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from sketches_go_spark.functions.expressions import (
+    portable_hash64,
+    portable_hash64_sql_duckdb,
+)
+
 
 def _render(t: Column) -> Column:
     # concat is null-propagating on Spark (NULL tool would null the whole
@@ -71,6 +76,59 @@ def assemble_conversations(
         F.length(sft).alias("sft_chars"),
         sft.alias("sft_text"),
     )
+
+
+_TURN_COLS = ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+
+
+def plant_neardup_conversations(
+    df: DataFrame,
+    every: int = 5,
+    salt: str = "convdup:",
+) -> DataFrame:
+    """Test-fixture planter: union the transcripts with a near-duplicate
+    clone of every hash-picked conversation (``conv_id || '~dup'``, final
+    turn dropped) so conversation-level near-dup detection has known
+    positives in a synthetic corpus that contains none.
+
+    Hash-picked (portable 60-bit hash % ``every``), never RNG — the DuckDB
+    oracle replays the exact same planted set.  The max-turn join shuffles
+    on conv_id only (one bigint per conversation), same key as the assembly
+    aggregation that always follows.
+    """
+    if every <= 0:
+        raise ValueError("every must be positive")
+    base = df.select(*_TURN_COLS)
+    mx = base.groupBy("conv_id").agg(F.max("turn_idx").alias("_mx"))
+    clones = (
+        base.join(mx, "conv_id")
+        .where(
+            (portable_hash64(F.col("conv_id"), salt) % every == 0)
+            & (F.col("turn_idx") < F.col("_mx"))
+        )
+        .select(
+            F.concat("conv_id", F.lit("~dup")).alias("conv_id"),
+            *_TURN_COLS[1:],
+        )
+    )
+    return base.unionByName(clones)
+
+
+def plant_neardup_conversations_sql(
+    transcripts_sql: str,
+    every: int = 5,
+    salt: str = "convdup:",
+) -> str:
+    """DuckDB replay of :func:`plant_neardup_conversations` (same hash pick,
+    same clone rule) — returns a transcripts-shaped SELECT."""
+    pick = portable_hash64_sql_duckdb("t.conv_id", salt)
+    return f"""SELECT conv_id, turn_idx, role, text, tool, ts FROM ({transcripts_sql})
+UNION ALL
+SELECT concat(t.conv_id, '~dup') AS conv_id, t.turn_idx, t.role, t.text, t.tool, t.ts
+FROM ({transcripts_sql}) t
+JOIN (SELECT conv_id, max(turn_idx) AS mx FROM ({transcripts_sql}) GROUP BY conv_id) m
+  USING (conv_id)
+WHERE {pick} % {int(every)} = 0 AND t.turn_idx < m.mx"""
 
 
 def assemble_conversations_sql(

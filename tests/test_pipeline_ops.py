@@ -1709,3 +1709,49 @@ def test_assemble_conversations_cap_and_render(spark):
 
     with pytest.raises(ValueError):
         assemble.assemble_conversations(df, max_turns=0)
+
+
+def test_plant_neardup_conversations_recovers_pairs(spark):
+    from sketches_go_spark.operators import assemble
+
+    # 10 conversations x 8 turns of distinct-but-overlapping text
+    rows = [
+        (f"c{c}", i, "user", f"turn {c} {i} alpha beta gamma delta", None,
+         f"2024-01-01 00:{i:02d}:00")
+        for c in range(10)
+        for i in range(8)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, role string, text string, tool string, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+
+    planted = assemble.plant_neardup_conversations(df, every=3)
+    base_ids = {r[0] for r in df.select("conv_id").distinct().collect()}
+    got = {r[0] for r in planted.select("conv_id").distinct().collect()}
+    clones = got - base_ids
+    assert clones and all(c.endswith("~dup") for c in clones)
+    # each clone is its source minus exactly the final turn
+    counts = {
+        r["conv_id"]: r["n"]
+        for r in planted.groupBy("conv_id").agg(F.count("*").alias("n")).collect()
+    }
+    for c in clones:
+        assert counts[c] == counts[c[: -len("~dup")]] - 1
+
+    # end-to-end: minhash over the rendered conversations recovers EXACTLY
+    # the (source, clone) pairs — unrelated conversations stay below threshold
+    from sketches_go_spark.operators import dedup
+
+    conv = assemble.assemble_conversations(planted)
+    docs = conv.select(
+        F.col("conv_id").alias("doc_id"), F.col("sft_text").alias("text")
+    )
+    pairs = dedup.minhash_lsh_pairs(docs, threshold=0.5).collect()
+    assert {(r["id_a"], r["id_b"]) for r in pairs} == {
+        (c[: -len("~dup")], c) for c in clones
+    }
+    assert all(r["jaccard"] > 0.7 for r in pairs)
+
+    with pytest.raises(ValueError):
+        assemble.plant_neardup_conversations(df, every=0)
