@@ -1823,6 +1823,41 @@ def q_dedup_conversations_minhash(spark: SparkSession, sf_dir: str) -> DataFrame
     return dedup.minhash_lsh_pairs(docs, threshold=0.5).orderBy("id_a", "id_b")
 
 
+def q_transcript_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-conversation transcript-integrity report — dense turn_idx,
+    opening-role grammar, adjacent-role repeats, timestamp monotonicity,
+    empty turns, and the combined `valid` verdict an SFT loader gates on.
+    One conv_id-keyed shuffle; adjacency checks run inside each group's
+    sorted array (operators/assemble.py::validate_conversations)."""
+    t = transcripts_from_events(spark, sf_dir)
+    return ops_assemble.validate_conversations(t).orderBy("conv_id")
+
+
+def q_transcript_truncate_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget conversation truncation then assembly: head-keep turns
+    while the running whitespace-token count stays under the budget (same
+    keep rule as token_budget_sample — first turn always survives,
+    overshoot <= 1 turn), then render the truncated conversations.  Both
+    stages shuffle on conv_id only
+    (operators/assemble.py::truncate_conversations)."""
+    t = transcripts_from_events(spark, sf_dir)
+    kept = ops_assemble.truncate_conversations(t, token_budget=8)
+    return ops_assemble.assemble_conversations(
+        kept.drop("n_tokens", "tokens_before")
+    ).orderBy("conv_id")
+
+
+def q_transcript_common_turns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate-turn detection: normalized turn texts shared by many
+    conversations (system prompts, templated tool output).  One text-keyed
+    aggregation with two-phase count-distinct; hot boilerplate keys collapse
+    map-side (operators/assemble.py::common_turns)."""
+    t = transcripts_from_events(spark, sf_dir)
+    return ops_assemble.common_turns(t, min_convs=5).orderBy(
+        F.desc("n_occurrences"), "text_norm"
+    )
+
+
 def q_text_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing (rolling-hash family) fingerprint sets per document —
     substring-level dedup keys; exact portable-hash oracle."""
@@ -2359,6 +2394,9 @@ _ROUND5_WINDOW = [
     "sample_token_budget_by_source",
     "transcript_sft_render",
     "dedup_conversations_minhash",
+    "transcript_validate",
+    "transcript_truncate_budget",
+    "transcript_common_turns",
     # --- code path changed this round
     "chunk_documents",
     "streaming_append_daily_quantiles",
@@ -2396,9 +2434,6 @@ _ROUND5_WINDOW = [
     "asof_purchase_last_click",
     "interval_join_session_events",
     "asof_signup_next_purchase",
-    "retention_weekly",
-    "ddsketch_collapsed_bins",
-    "ddsketch_collapsed_highest_bins",
 ]
 
 
@@ -2419,6 +2454,9 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_repetition": q_text_repetition,
         "transcript_sft_render": q_transcript_sft_render,
         "dedup_conversations_minhash": q_dedup_conversations_minhash,
+        "transcript_validate": q_transcript_validate,
+        "transcript_truncate_budget": q_transcript_truncate_budget,
+        "transcript_common_turns": q_transcript_common_turns,
         "text_benchmark_contamination": q_text_benchmark_contamination,
         "dedup_components": q_dedup_components,
         "dedup_incremental_shard": q_dedup_incremental_shard,
@@ -3245,6 +3283,20 @@ ORDER BY l_returnflag, l_linestatus""",
             transcripts_sql("events"), max_turns=64
         )
         + " ORDER BY conv_id",
+        "transcript_validate": ops_assemble.validate_conversations_sql(
+            transcripts_sql("events")
+        )
+        + " ORDER BY conv_id",
+        "transcript_truncate_budget": ops_assemble.assemble_conversations_sql(
+            ops_assemble.truncate_conversations_sql(
+                transcripts_sql("events"), token_budget=8
+            )
+        )
+        + " ORDER BY conv_id",
+        "transcript_common_turns": ops_assemble.common_turns_sql(
+            transcripts_sql("events"), min_convs=5
+        )
+        + " ORDER BY n_occurrences DESC, text_norm",
         "dedup_conversations_minhash": opl.minhash_lsh_oracle(
             src="(SELECT conv_id AS doc_id, sft_text AS text FROM ("
             + ops_assemble.assemble_conversations_sql(

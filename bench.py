@@ -360,6 +360,9 @@ def main() -> None:
         "sample_token_budget_by_source",
         "transcript_sft_render",
         "dedup_conversations_minhash",
+        "transcript_validate",
+        "transcript_truncate_budget",
+        "transcript_common_turns",
     ):
         best, steal = timed(lambda: qfns[name](spark, SF_DIR), 2)
         pipeline_timings[name] = round(best, 3)

@@ -27,11 +27,13 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from sketches_go_spark.functions.expressions import (
     portable_hash64,
     portable_hash64_sql_duckdb,
 )
+from sketches_go_spark.operators.text import token_count, token_count_sql
 
 
 def _render(t: Column) -> Column:
@@ -129,6 +131,197 @@ FROM ({transcripts_sql}) t
 JOIN (SELECT conv_id, max(turn_idx) AS mx FROM ({transcripts_sql}) GROUP BY conv_id) m
   USING (conv_id)
 WHERE {pick} % {int(every)} = 0 AND t.turn_idx < m.mx"""
+
+
+def validate_conversations(df: DataFrame) -> DataFrame:
+    """Per-conversation transcript-integrity report — the schema checks an
+    SFT loader runs before training on a conversation:
+
+    - ``dense_idx``: turn_idx values are exactly ``0..n-1`` (no gaps, dupes);
+    - ``first_role`` / ``starts_ok``: conversations open with ``user`` or
+      ``system``;
+    - ``n_role_repeats``: count of adjacent same-role turn pairs (reported,
+      not fatal — tool/assistant runs are legal in agent traces);
+    - ``ts_monotone``: timestamps never decrease in turn order;
+    - ``n_empty_turns``: turns whose text is NULL/whitespace-only;
+    - ``valid``: dense AND starts_ok AND ts_monotone AND no empty turns.
+
+    Scale shape: ONE shuffle keyed by conv_id; the turn ordering that every
+    adjacency check needs runs INSIDE each group's collected array
+    (``array_sort`` on (turn_idx, role, tsu) — fully deterministic even
+    under duplicate turn_idx), never as a global sort.  Per-group state is
+    one conversation's (int, role, ts) triples — text stays out of the
+    sorted array entirely (the empty-turn count is a plain conditional
+    aggregate), so the shuffled bytes are bounded by turn COUNT, not text
+    size.
+    """
+    tsu = F.unix_micros(F.col("ts").cast("timestamp"))
+    empty = F.when(
+        F.length(F.trim(F.coalesce(F.col("text"), F.lit("")))) == 0, 1
+    ).otherwise(0)
+    g = df.groupBy("conv_id").agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("turn_idx"), F.col("role"), tsu.alias("tsu")))
+        ).alias("_a"),
+        F.sum(empty).cast("int").alias("n_empty_turns"),
+    )
+    a = F.col("_a")
+    n = F.size(a)
+    # sequence(lo, hi) DESCENDS when lo > hi — guard the n < 2 case to an
+    # empty adjacency list explicitly.
+    adj = F.when(n >= 2, F.sequence(F.lit(2), n)).otherwise(
+        F.array().cast("array<int>")
+    )
+    dense = F.forall(
+        F.sequence(F.lit(1), n), lambda i: F.element_at(a, i)["turn_idx"] == i - 1
+    )
+    repeats = F.size(
+        F.filter(
+            adj, lambda i: F.element_at(a, i)["role"] == F.element_at(a, i - 1)["role"]
+        )
+    )
+    monotone = F.forall(
+        adj, lambda i: F.element_at(a, i)["tsu"] >= F.element_at(a, i - 1)["tsu"]
+    )
+    first_role = F.element_at(a, 1)["role"]
+    starts_ok = first_role.isin("user", "system")
+    return g.select(
+        "conv_id",
+        n.alias("n_turns"),
+        first_role.alias("first_role"),
+        dense.alias("dense_idx"),
+        starts_ok.alias("starts_ok"),
+        repeats.alias("n_role_repeats"),
+        monotone.alias("ts_monotone"),
+        "n_empty_turns",
+        (dense & starts_ok & monotone & (F.col("n_empty_turns") == 0)).alias("valid"),
+    )
+
+
+def validate_conversations_sql(transcripts_sql: str) -> str:
+    """DuckDB replay of :func:`validate_conversations` (lag-window form —
+    same deterministic (turn_idx, role, tsu) adjacency order, same flags)."""
+    return f"""WITH sgv_t AS (
+  SELECT conv_id, turn_idx, role, text, epoch_us(ts) AS tsu,
+         row_number() OVER w - 1 AS rn0,
+         lag(role) OVER w AS prev_role,
+         lag(epoch_us(ts)) OVER w AS prev_tsu
+  FROM ({transcripts_sql})
+  WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx, role, epoch_us(ts))
+),
+sgv_g AS (
+  SELECT conv_id,
+         cast(count(*) AS int) AS n_turns,
+         min(CASE WHEN rn0 = 0 THEN role END) AS first_role,
+         bool_and(turn_idx = rn0) AS dense_idx,
+         cast(count(CASE WHEN role = prev_role THEN 1 END) AS int)
+           AS n_role_repeats,
+         bool_and(prev_tsu IS NULL OR tsu >= prev_tsu) AS ts_monotone,
+         cast(count(CASE WHEN length(trim(coalesce(text, ''))) = 0 THEN 1 END)
+              AS int) AS n_empty_turns
+  FROM sgv_t GROUP BY conv_id
+)
+SELECT conv_id, n_turns, first_role, dense_idx,
+       first_role IN ('user', 'system') AS starts_ok,
+       n_role_repeats, ts_monotone, n_empty_turns,
+       (dense_idx AND first_role IN ('user', 'system') AND ts_monotone
+        AND n_empty_turns = 0) AS valid
+FROM sgv_g"""
+
+
+def truncate_conversations(
+    df: DataFrame,
+    token_budget: int,
+) -> DataFrame:
+    """Head-truncate each conversation to a whitespace-token budget: keep a
+    turn iff the tokens accumulated BEFORE it (in turn order) are still under
+    ``token_budget`` — the same keep rule as
+    :func:`~sketches_go_spark.operators.sampling.token_budget_sample`, so at
+    least the first turn always survives and the overshoot is at most one
+    turn.  Returns the transcripts shape plus ``n_tokens`` /
+    ``tokens_before`` audit columns; chain into
+    :func:`assemble_conversations` for the budgeted render.
+
+    Scale shape: one window shuffle partitioned on conv_id — a per-group
+    prefix scan bounded by the longest conversation, the identical shape to
+    the assembly aggregation downstream (same key, so AQE/reuse keeps the
+    turns co-located between the two).
+    """
+    if token_budget <= 0:
+        raise ValueError("token_budget must be positive")
+    reserved = {"n_tokens", "tokens_before"} & set(df.columns)
+    if reserved:
+        raise ValueError(
+            "df must not carry columns named "
+            + ", ".join(sorted(reserved))
+            + " (reserved for truncate_conversations' prefix scan)"
+        )
+    d = df.withColumn("n_tokens", token_count(F.col("text")).cast("bigint"))
+    w = (
+        Window.partitionBy("conv_id")
+        .orderBy(F.col("turn_idx").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return d.withColumn(
+        "tokens_before", F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    ).where(F.col("tokens_before") < F.lit(int(token_budget)))
+
+
+def truncate_conversations_sql(
+    transcripts_sql: str,
+    token_budget: int,
+) -> str:
+    """DuckDB replay of :func:`truncate_conversations` — returns a
+    transcripts-shaped SELECT (plus the audit columns), window sum cast to
+    bigint (DuckDB widens sum(bigint) to HUGEINT)."""
+    ntok = token_count_sql("text")
+    return f"""SELECT * FROM (
+  SELECT conv_id, turn_idx, role, text, tool, ts,
+         cast({ntok} AS bigint) AS n_tokens,
+         cast(coalesce(sum(cast({ntok} AS bigint)) OVER (
+           PARTITION BY conv_id ORDER BY turn_idx ASC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bigint)
+           AS tokens_before
+  FROM ({transcripts_sql})
+) WHERE tokens_before < {int(token_budget)}"""
+
+
+def common_turns(
+    df: DataFrame,
+    min_convs: int = 2,
+) -> DataFrame:
+    """Boilerplate-turn detection: normalized turn texts (lower+trim) that
+    appear in at least ``min_convs`` distinct conversations — shared system
+    prompts, templated tool output, injected headers.  Returns
+    ``(text_norm, n_convs, n_occurrences)``.
+
+    Scale shape: one aggregation keyed by the normalized text with a
+    count-distinct on conv_id (Catalyst expands to a two-phase
+    distinct-then-count — both phases map-side combined).  Boilerplate keys
+    are few and hot by definition, which is exactly the shape partial
+    aggregation collapses before the shuffle; the output is bounded by the
+    ``min_convs`` filter, never the corpus.
+    """
+    if min_convs <= 0:
+        raise ValueError("min_convs must be positive")
+    norm = F.lower(F.trim(F.coalesce(F.col("text"), F.lit(""))))
+    return (
+        df.groupBy(norm.alias("text_norm"))
+        .agg(
+            F.countDistinct("conv_id").cast("bigint").alias("n_convs"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+        )
+        .where(F.col("n_convs") >= min_convs)
+    )
+
+
+def common_turns_sql(transcripts_sql: str, min_convs: int = 2) -> str:
+    """DuckDB replay of :func:`common_turns`."""
+    return f"""SELECT lower(trim(coalesce(text, ''))) AS text_norm,
+       cast(count(DISTINCT conv_id) AS bigint) AS n_convs,
+       cast(count(*) AS bigint) AS n_occurrences
+FROM ({transcripts_sql})
+GROUP BY 1 HAVING count(DISTINCT conv_id) >= {int(min_convs)}"""
 
 
 def assemble_conversations_sql(

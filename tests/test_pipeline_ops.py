@@ -1755,3 +1755,132 @@ def test_plant_neardup_conversations_recovers_pairs(spark):
 
     with pytest.raises(ValueError):
         assemble.plant_neardup_conversations(df, every=0)
+
+
+def _turns_df(spark, rows):
+    return spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, role string, text string, tool string, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+
+
+def test_validate_conversations_flags(spark):
+    from sketches_go_spark.operators import assemble
+
+    t0 = "2024-01-01 00:00:0"
+    rows = [
+        # good: dense, user-first, monotone, non-empty
+        ("good", 0, "user", "hi", None, t0 + "0"),
+        ("good", 1, "assistant", "hello", None, t0 + "1"),
+        # gap in turn_idx
+        ("gap", 0, "user", "a", None, t0 + "0"),
+        ("gap", 2, "assistant", "b", None, t0 + "1"),
+        # opens with assistant
+        ("badstart", 0, "assistant", "a", None, t0 + "0"),
+        ("badstart", 1, "user", "b", None, t0 + "1"),
+        # timestamp regression
+        ("tsback", 0, "user", "a", None, t0 + "5"),
+        ("tsback", 1, "assistant", "b", None, t0 + "2"),
+        # whitespace-only turn + consecutive same-role pair
+        ("emptyrep", 0, "user", "a", None, t0 + "0"),
+        ("emptyrep", 1, "assistant", "  ", None, t0 + "1"),
+        ("emptyrep", 2, "assistant", "c", None, t0 + "2"),
+    ]
+    out = {
+        r["conv_id"]: r.asDict()
+        for r in assemble.validate_conversations(_turns_df(spark, rows)).collect()
+    }
+    g = out["good"]
+    assert g["valid"] and g["dense_idx"] and g["starts_ok"] and g["ts_monotone"]
+    assert g["n_role_repeats"] == 0 and g["n_empty_turns"] == 0
+    assert g["first_role"] == "user" and g["n_turns"] == 2
+    assert not out["gap"]["dense_idx"] and not out["gap"]["valid"]
+    assert not out["badstart"]["starts_ok"] and not out["badstart"]["valid"]
+    assert out["badstart"]["first_role"] == "assistant"
+    assert not out["tsback"]["ts_monotone"] and not out["tsback"]["valid"]
+    e = out["emptyrep"]
+    assert e["n_empty_turns"] == 1 and e["n_role_repeats"] == 1 and not e["valid"]
+    # repeats alone are reported, not fatal
+    assert e["dense_idx"] and e["starts_ok"] and e["ts_monotone"]
+
+
+def test_validate_conversations_matches_duckdb(spark, duck):
+    from sketches_go_spark.operators import assemble
+
+    rows = [
+        (f"c{c}", i, ["user", "assistant", "tool"][i % 3],
+         "" if (c + i) % 7 == 0 else f"text {c} {i}", None,
+         f"2024-01-01 00:{(i * 3) % 60:02d}:00")
+        for c in range(6)
+        for i in range(5)
+    ]
+    df = _turns_df(spark, rows)
+    got = {
+        tuple(r) for r in assemble.validate_conversations(df).collect()
+    }
+    duck.register("sgv_pdf", df.toPandas())
+    duck.execute(
+        "CREATE OR REPLACE VIEW sgv_in AS SELECT conv_id, "
+        "cast(turn_idx AS int) AS turn_idx, role, text, tool, "
+        "cast(ts AS timestamp) AS ts FROM sgv_pdf"
+    )
+    want = {
+        tuple(r)
+        for r in duck.execute(
+            assemble.validate_conversations_sql("SELECT * FROM sgv_in")
+        ).fetchall()
+    }
+    assert got == want
+
+
+def test_truncate_conversations_budget_rule(spark):
+    from sketches_go_spark.operators import assemble
+
+    rows = [
+        # token counts per turn: 3, 2, 4, 1
+        ("c1", 0, "user", "a b c", None, "2024-01-01 00:00:00"),
+        ("c1", 1, "assistant", "d e", None, "2024-01-01 00:00:01"),
+        ("c1", 2, "user", "f g h i", None, "2024-01-01 00:00:02"),
+        ("c1", 3, "assistant", "j", None, "2024-01-01 00:00:03"),
+        # single huge first turn always survives
+        ("c2", 0, "user", " ".join(["w"] * 50), None, "2024-01-01 00:00:00"),
+        ("c2", 1, "assistant", "x", None, "2024-01-01 00:00:01"),
+    ]
+    df = _turns_df(spark, rows)
+    kept = assemble.truncate_conversations(df, token_budget=5)
+    got = sorted(
+        (r["conv_id"], r["turn_idx"], r["tokens_before"]) for r in kept.collect()
+    )
+    # c1: before = 0, 3, 5(stop), ... -> keeps turns 0,1 ; c2: keeps turn 0 only
+    assert got == [("c1", 0, 0), ("c1", 1, 3), ("c2", 0, 0)]
+
+    with pytest.raises(ValueError):
+        assemble.truncate_conversations(df, token_budget=0)
+    with pytest.raises(ValueError):
+        assemble.truncate_conversations(
+            df.withColumn("n_tokens", F.lit(1)), token_budget=5
+        )
+
+
+def test_common_turns_threshold(spark):
+    from sketches_go_spark.operators import assemble
+
+    rows = (
+        [(f"c{c}", 0, "system", "You Are Helpful ", None, "2024-01-01 00:00:00")
+         for c in range(4)]
+        + [("c0", 1, "user", "unique zero", None, "2024-01-01 00:00:01"),
+           ("c1", 1, "user", "you are helpful", None, "2024-01-01 00:00:01"),
+           ("c1", 2, "user", "rare", None, "2024-01-01 00:00:02"),
+           ("c2", 1, "user", "rare", None, "2024-01-01 00:00:01")]
+    )
+    out = {
+        r["text_norm"]: (r["n_convs"], r["n_occurrences"])
+        for r in assemble.common_turns(_turns_df(spark, rows), min_convs=2).collect()
+    }
+    # normalization folds case + trim; c1 contributes twice but counts once
+    assert out["you are helpful"] == (4, 5)
+    assert out["rare"] == (2, 2)
+    assert "unique zero" not in out
+
+    with pytest.raises(ValueError):
+        assemble.common_turns(_turns_df(spark, rows), min_convs=0)
