@@ -140,6 +140,34 @@ def q_ddsketch_latency_by_tool(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("tool", "q")
 
 
+_CONV_DURATION_MEASURE_SQL = (
+    "SELECT arg_min(role, turn_idx) AS first_role, "
+    "cast(max(epoch_us(ts)) - min(epoch_us(ts)) AS double) / 1000000.0 AS v "
+    f"FROM {_TRANSCRIPTS} GROUP BY conv_id"
+)
+
+
+def q_ddsketch_conv_duration_by_first_role(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Conversation-LEVEL sketch rollup: p50/p95/p99 of per-conversation
+    wall-clock duration (seconds) grouped by the conversation's opening role
+    — a two-level aggregation (turns -> conversation features -> sketch) both
+    keyed small: the first shuffle carries one row per conversation, the
+    second one bins row per (first_role, bucket).  Single-turn conversations
+    land in the sketch's zero bucket (duration 0) — the exact zero-count
+    path, not a dropped row."""
+    t = transcripts_from_events(spark, sf_dir)
+    tsu = F.unix_micros(F.col("ts").cast("timestamp"))
+    conv = t.groupBy("conv_id").agg(
+        F.min_by("role", "turn_idx").alias("first_role"),
+        ((F.max(tsu) - F.min(tsu)).cast("double") / F.lit(1000000.0)).alias("v"),
+    )
+    return dd.ddsketch_quantiles_relational(
+        conv.select("first_role", "v"), "v", ["first_role"], QS, CFG
+    ).orderBy("first_role", "q")
+
+
 def q_ddsketch_bins_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The raw bins relation (sign, bucket, count) per role — the exact
     sketch state, strongest oracle (all-integer comparison)."""
@@ -2397,6 +2425,7 @@ _ROUND5_WINDOW = [
     "transcript_validate",
     "transcript_truncate_budget",
     "transcript_common_turns",
+    "ddsketch_conv_duration_by_first_role",
     # --- code path changed this round
     "chunk_documents",
     "streaming_append_daily_quantiles",
@@ -2433,7 +2462,6 @@ _ROUND5_WINDOW = [
     "sessionize_user_events",
     "asof_purchase_last_click",
     "interval_join_session_events",
-    "asof_signup_next_purchase",
 ]
 
 
@@ -2457,6 +2485,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transcript_validate": q_transcript_validate,
         "transcript_truncate_budget": q_transcript_truncate_budget,
         "transcript_common_turns": q_transcript_common_turns,
+        "ddsketch_conv_duration_by_first_role": q_ddsketch_conv_duration_by_first_role,
         "text_benchmark_contamination": q_text_benchmark_contamination,
         "dedup_components": q_dedup_components,
         "dedup_incremental_shard": q_dedup_incremental_shard,
@@ -2617,6 +2646,10 @@ def oracle_sql() -> dict[str, str]:
         ),
         "ddsketch_textlen_by_role": oracles.ddsketch_quantiles_sql(
             _TEXT_LEN_MEASURE_SQL, ["role"], QS, CFG, order_by="role, q"
+        ),
+        "ddsketch_conv_duration_by_first_role": oracles.ddsketch_quantiles_sql(
+            _CONV_DURATION_MEASURE_SQL, ["first_role"], QS, CFG,
+            order_by="first_role, q",
         ),
         # warehouse round-trip preserves blobs byte-exactly -> same pivot
         "sketch_warehouse_roundtrip": oracles.ddsketch_quantiles_sql(

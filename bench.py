@@ -363,6 +363,7 @@ def main() -> None:
         "transcript_validate",
         "transcript_truncate_budget",
         "transcript_common_turns",
+        "ddsketch_conv_duration_by_first_role",
     ):
         best, steal = timed(lambda: qfns[name](spark, SF_DIR), 2)
         pipeline_timings[name] = round(best, 3)
