@@ -1538,6 +1538,53 @@ def q_streaming_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name).orderBy("fingerprint")
 
 
+def q_streaming_conv_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming conversation-feature aggregation (axis B): the example-level
+    features loaders bucket on (turn count, tool-turn count, wall-clock
+    duration, total text chars, opening role) maintained as ONE streaming
+    aggregation keyed by conv_id.  The rendered transcript itself is
+    order-dependent and NOT streamable without ordered state — but every
+    feature here is an order-free monoid (counts, sums, min/max, min-struct
+    for the opening role), so the availableNow result equals the batch
+    replay exactly.  State = one row per conversation."""
+    stream = _staged_events_stream(spark, sf_dir)
+    tsu = F.unix_micros(F.col("ts").cast("timestamp"))
+    role = (
+        F.when(F.col("event_type").isin("click", "view"), "user")
+        .when(F.col("event_type") == "signup", "system")
+        .when(F.col("event_type") == "purchase", "assistant")
+        .otherwise("tool")
+    )
+    turns = stream.select(
+        F.concat(
+            F.lit("conv-"), F.lpad(F.col("user_id").cast("string"), 8, "0")
+        ).alias("conv_id"),
+        role.alias("role"),
+        F.col("props").alias("text"),
+        tsu.alias("tsu"),
+        F.col("event_id"),
+        F.when(F.col("event_type") == "error", 1).alias("is_tool"),
+    )
+    agg = turns.groupBy("conv_id").agg(
+        F.count(F.lit(1)).alias("n_turns"),
+        F.count("is_tool").alias("n_tool_turns"),
+        (F.max("tsu") - F.min("tsu")).alias("duration_us"),
+        F.sum(F.length("text")).alias("total_chars"),
+        F.min(F.struct("tsu", "event_id", "role"))["role"].alias("first_role"),
+    )
+    _STREAM_COUNTER[0] += 1
+    name = f"sgs_stream_convf_{_STREAM_COUNTER[0]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name).orderBy("conv_id")
+
+
 def q_streaming_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming NEAR-dup index (axis B): the MinHash-LSH band-bucket state
     maintained as documents stream in — signatures are per-row higher-order
@@ -2426,6 +2473,7 @@ _ROUND5_WINDOW = [
     "transcript_truncate_budget",
     "transcript_common_turns",
     "ddsketch_conv_duration_by_first_role",
+    "streaming_conv_features",
     # --- code path changed this round
     "chunk_documents",
     "streaming_append_daily_quantiles",
@@ -2461,7 +2509,6 @@ _ROUND5_WINDOW = [
     "ddsketch_sliding_quantiles",
     "sessionize_user_events",
     "asof_purchase_last_click",
-    "interval_join_session_events",
 ]
 
 
@@ -2486,6 +2533,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transcript_truncate_budget": q_transcript_truncate_budget,
         "transcript_common_turns": q_transcript_common_turns,
         "ddsketch_conv_duration_by_first_role": q_ddsketch_conv_duration_by_first_role,
+        "streaming_conv_features": q_streaming_conv_features,
         "text_benchmark_contamination": q_text_benchmark_contamination,
         "dedup_components": q_dedup_components,
         "dedup_incremental_shard": q_dedup_incremental_shard,
@@ -2651,6 +2699,24 @@ def oracle_sql() -> dict[str, str]:
             _CONV_DURATION_MEASURE_SQL, ["first_role"], QS, CFG,
             order_by="first_role, q",
         ),
+        # batch replay of the streaming monoid features (availableNow == batch)
+        "streaming_conv_features": """WITH sgcf_t AS (
+  SELECT concat('conv-', lpad(cast(user_id AS string), 8, '0')) AS conv_id,
+         CASE event_type WHEN 'click' THEN 'user' WHEN 'view' THEN 'user'
+              WHEN 'signup' THEN 'system' WHEN 'purchase' THEN 'assistant'
+              ELSE 'tool' END AS role,
+         props AS text, epoch_us(ts) AS tsu, event_id,
+         CASE WHEN event_type = 'error' THEN 1 END AS is_tool,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events
+)
+SELECT conv_id,
+       cast(count(*) AS bigint) AS n_turns,
+       cast(count(is_tool) AS bigint) AS n_tool_turns,
+       cast(max(tsu) - min(tsu) AS bigint) AS duration_us,
+       cast(sum(length(text)) AS bigint) AS total_chars,
+       min(CASE WHEN rn = 1 THEN role END) AS first_role
+FROM sgcf_t GROUP BY conv_id ORDER BY conv_id""",
         # warehouse round-trip preserves blobs byte-exactly -> same pivot
         "sketch_warehouse_roundtrip": oracles.ddsketch_quantiles_sql(
             _TEXT_LEN_MEASURE_SQL, ["role"], QS, CFG, pivot=PIVOT, order_by="role"
