@@ -1933,6 +1933,27 @@ def q_transcript_common_turns(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_transcript_collapse_retries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retry-run collapse: drop turns whose (role, text, tool) exactly repeat
+    the previous turn of the conversation (agent retries, double-submits),
+    keep the first of each run, re-index turn_idx densely.  One conv_id
+    window shuffle shared by the lag comparison and the re-rank
+    (operators/assemble.py::collapse_retries).  ts is surfaced as epoch
+    micros (the comparison gate's portable timestamp form — pandas renders
+    Spark timestamps at ns and DuckDB at us, so raw timestamp columns
+    can't value-hash across engines)."""
+    t = transcripts_from_events(spark, sf_dir)
+    out = ops_assemble.collapse_retries(t)
+    return out.select(
+        "conv_id",
+        "turn_idx",
+        "role",
+        "text",
+        "tool",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+    ).orderBy("conv_id", "turn_idx")
+
+
 def q_text_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing (rolling-hash family) fingerprint sets per document —
     substring-level dedup keys; exact portable-hash oracle."""
@@ -2474,6 +2495,7 @@ _ROUND5_WINDOW = [
     "transcript_common_turns",
     "ddsketch_conv_duration_by_first_role",
     "streaming_conv_features",
+    "transcript_collapse_retries",
     # --- code path changed this round
     "chunk_documents",
     "streaming_append_daily_quantiles",
@@ -2508,7 +2530,6 @@ _ROUND5_WINDOW = [
     "ddsketch_daily_trend",
     "ddsketch_sliding_quantiles",
     "sessionize_user_events",
-    "asof_purchase_last_click",
 ]
 
 
@@ -2534,6 +2555,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transcript_common_turns": q_transcript_common_turns,
         "ddsketch_conv_duration_by_first_role": q_ddsketch_conv_duration_by_first_role,
         "streaming_conv_features": q_streaming_conv_features,
+        "transcript_collapse_retries": q_transcript_collapse_retries,
         "text_benchmark_contamination": q_text_benchmark_contamination,
         "dedup_components": q_dedup_components,
         "dedup_incremental_shard": q_dedup_incremental_shard,
@@ -2717,6 +2739,10 @@ SELECT conv_id,
        cast(sum(length(text)) AS bigint) AS total_chars,
        min(CASE WHEN rn = 1 THEN role END) AS first_role
 FROM sgcf_t GROUP BY conv_id ORDER BY conv_id""",
+        "transcript_collapse_retries": "SELECT conv_id, turn_idx, role, text,"
+        " tool, cast(epoch_us(ts) AS bigint) AS ts_us FROM ("
+        + ops_assemble.collapse_retries_sql(transcripts_sql("events"))
+        + ") ORDER BY conv_id, turn_idx",
         # warehouse round-trip preserves blobs byte-exactly -> same pivot
         "sketch_warehouse_roundtrip": oracles.ddsketch_quantiles_sql(
             _TEXT_LEN_MEASURE_SQL, ["role"], QS, CFG, pivot=PIVOT, order_by="role"

@@ -365,6 +365,7 @@ def main() -> None:
         "transcript_common_turns",
         "ddsketch_conv_duration_by_first_role",
         "streaming_conv_features",
+        "transcript_collapse_retries",
     ):
         best, steal = timed(lambda: qfns[name](spark, SF_DIR), 2)
         pipeline_timings[name] = round(best, 3)

@@ -286,6 +286,54 @@ def truncate_conversations_sql(
 ) WHERE tokens_before < {int(token_budget)}"""
 
 
+def collapse_retries(df: DataFrame) -> DataFrame:
+    """Collapse retry runs: drop a turn when (role, text, tool) exactly
+    equals the previous turn of the same conversation (agent-trace retries,
+    double-submits, duplicated tool outputs), keeping the FIRST turn of each
+    run (its ts), then re-index ``turn_idx`` densely over the survivors so
+    downstream assembly/truncation see a gapless transcript.
+
+    Scale shape: one conv_id-keyed window shuffle; both the lag comparison
+    and the dense re-rank run over the same (conv_id, turn_idx) sort, so
+    Catalyst plans a single Exchange.  NULL-safe equality (``eqNullSafe``)
+    so NULL tool == NULL tool counts as a repeat, matching the SQL twin's
+    ``IS NOT DISTINCT FROM``.
+    """
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    same = (
+        F.col("role").eqNullSafe(F.lag("role").over(w))
+        & F.col("text").eqNullSafe(F.lag("text").over(w))
+        & F.col("tool").eqNullSafe(F.lag("tool").over(w))
+    )
+    kept = df.withColumn("_rep", F.coalesce(same, F.lit(False))).where(~F.col("_rep"))
+    return kept.select(
+        "conv_id",
+        (F.row_number().over(w) - 1).cast("int").alias("turn_idx"),
+        "role",
+        "text",
+        "tool",
+        "ts",
+    )
+
+
+def collapse_retries_sql(transcripts_sql: str) -> str:
+    """DuckDB replay of :func:`collapse_retries` — returns a
+    transcripts-shaped SELECT with densely re-indexed turn_idx."""
+    return f"""SELECT conv_id,
+       cast(row_number() OVER (PARTITION BY conv_id ORDER BY turn_idx) - 1
+            AS int) AS turn_idx,
+       role, text, tool, ts
+FROM (
+  SELECT *,
+         (role IS NOT DISTINCT FROM lag(role) OVER w
+          AND text IS NOT DISTINCT FROM lag(text) OVER w
+          AND tool IS NOT DISTINCT FROM lag(tool) OVER w) AS _rep
+  FROM ({transcripts_sql})
+  WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
+)
+WHERE NOT coalesce(_rep, false)"""
+
+
 def common_turns(
     df: DataFrame,
     min_convs: int = 2,

@@ -1884,3 +1884,35 @@ def test_common_turns_threshold(spark):
 
     with pytest.raises(ValueError):
         assemble.common_turns(_turns_df(spark, rows), min_convs=0)
+
+
+def test_collapse_retries_runs_and_reindex(spark):
+    from sketches_go_spark.operators import assemble
+
+    t = [f"2024-01-01 00:00:0{i}" for i in range(8)]
+    rows = [
+        # run of three identical user turns (NULL tool == NULL tool) -> keep first
+        ("c1", 0, "user", "a", None, t[0]),
+        ("c1", 1, "user", "a", None, t[1]),
+        ("c1", 2, "user", "a", None, t[2]),
+        ("c1", 3, "assistant", "b", None, t[3]),
+        # same content as the run but NOT consecutive -> kept
+        ("c1", 4, "user", "a", None, t[4]),
+        # tool turns: same text, different tool -> both kept
+        ("c2", 0, "tool", "x", "tool-1", t[0]),
+        ("c2", 1, "tool", "x", "tool-2", t[1]),
+        # same role+text+tool -> dropped
+        ("c2", 2, "tool", "x", "tool-2", t[2]),
+    ]
+    out = assemble.collapse_retries(_turns_df(spark, rows)).collect()
+    got = sorted(
+        (r["conv_id"], r["turn_idx"], r["role"], r["text"], r["tool"], str(r["ts"]))
+        for r in out
+    )
+    assert got == [
+        ("c1", 0, "user", "a", None, "2024-01-01 00:00:00"),
+        ("c1", 1, "assistant", "b", None, "2024-01-01 00:00:03"),
+        ("c1", 2, "user", "a", None, "2024-01-01 00:00:04"),
+        ("c2", 0, "tool", "x", "tool-1", "2024-01-01 00:00:00"),
+        ("c2", 1, "tool", "x", "tool-2", "2024-01-01 00:00:01"),
+    ]
