@@ -93,6 +93,26 @@ def job():
             F.min("doc_id").alias("canonical_id"),
             F.count(F.lit(1)).alias("n_docs"),
         ).count()
+    if job_kind == "assemble":
+        # the transcripts-payload flagship: collapse turns into rendered
+        # role-tagged SFT examples + loader features.  Turn text is
+        # synthesized deterministically from the key (~120 chars/turn) so
+        # the text-free cache is reused; the synthesis cost is identical at
+        # both parallelism levels and tiny next to the conv_id shuffle +
+        # in-group sort + render it feeds.
+        from sketches_go_spark.operators.assemble import assemble_conversations
+        txt = F.rpad(
+            F.concat(F.lit("t:"), F.col("conv_id"), F.lit(":"),
+                     F.col("turn_idx").cast("string"), F.lit(" ")),
+            120, "loremipsum dolorsit ")
+        a_src = t.select(
+            "conv_id", "turn_idx", "role",
+            F.when(F.col("role") == "tool", F.col("tool")).alias("tool"),
+            txt.alias("text"), "ts")
+        out = assemble_conversations(a_src, max_turns=64)
+        # aggregating sft_chars forces the render (a bare count() would let
+        # Catalyst prune the rendered column away)
+        return out.agg(F.sum("sft_chars"), F.sum("n_turns")).collect()
     src = t.select("role", "tool", measure.alias("v"))
     if job_kind == "udaf":
         # CPU-bound per byte: Arrow transfer + vectorized numpy partial build
@@ -277,7 +297,7 @@ def main() -> None:
     ap.add_argument("--reps", type=int, default=5)
     ap.add_argument("--job",
                     choices=["relational", "udaf", "udaf_bins", "skew",
-                             "temporal", "components", "minhash"],
+                             "temporal", "components", "minhash", "assemble"],
                     default="relational",
                     help="relational: parquet-scan-bound (bandwidth-limited on "
                          "ONE box); udaf: CPU-bound python path (isolates core "
@@ -368,6 +388,12 @@ def main() -> None:
         job_label = (
             "connected components (large-star/small-star to exact fixpoint) on a "
             "chain-cluster graph (--turns edges: 10-node chains + one 65,536-node chain)"
+        )
+    elif args.job == "assemble":
+        job_label = (
+            "transcript assembly (turns -> rendered role-tagged SFT examples "
+            "+ loader features; conv_id shuffle + in-group array_sort + "
+            "render, ~120 chars/turn synthesized from the key)"
         )
     else:
         job_label = f"ddsketch {args.job} p50/p95/p99 by (role, tool), synthetic numeric transcripts"
