@@ -1954,6 +1954,41 @@ def q_transcript_collapse_retries(spark: SparkSession, sf_dir: str) -> DataFrame
     ).orderBy("conv_id", "turn_idx")
 
 
+def q_transcript_training_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transcript-pipeline CAPSTONE — the full turns->training-set build in
+    one declarative plan: plant known near-dups (fixture), collapse retry
+    runs, keep only schema-valid conversations, head-truncate to a token
+    budget, assemble role-tagged SFT examples, and drop the
+    lexicographically-larger member of every MinHash-verified near-dup pair
+    (pairwise canonicalization — the components closure is the heavier
+    dedup_canonical_docs path).  Every stage shuffles on conv_id except the
+    LSH banding; at production scale the assembled relation would be
+    persisted before the near-dup self-join rather than recomputed on both
+    sides of the anti-join."""
+    t = transcripts_from_events(spark, sf_dir)
+    planted = ops_assemble.plant_neardup_conversations(t, every=5)
+    c = ops_assemble.collapse_retries(planted)
+    valid_ids = (
+        ops_assemble.validate_conversations(c)
+        .where(F.col("valid"))
+        .select("conv_id")
+    )
+    kept = c.join(valid_ids, "conv_id")
+    trunc = ops_assemble.truncate_conversations(kept, token_budget=64).drop(
+        "n_tokens", "tokens_before"
+    )
+    conv = ops_assemble.assemble_conversations(trunc)
+    docs = conv.select(
+        F.col("conv_id").alias("doc_id"), F.col("sft_text").alias("text")
+    )
+    drop = (
+        dedup.minhash_lsh_pairs(docs, threshold=0.5)
+        .select(F.col("id_b").alias("conv_id"))
+        .distinct()
+    )
+    return conv.join(drop, "conv_id", "left_anti").orderBy("conv_id")
+
+
 def q_text_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing (rolling-hash family) fingerprint sets per document —
     substring-level dedup keys; exact portable-hash oracle."""
@@ -2496,6 +2531,7 @@ _ROUND5_WINDOW = [
     "ddsketch_conv_duration_by_first_role",
     "streaming_conv_features",
     "transcript_collapse_retries",
+    "transcript_training_set",
     # --- code path changed this round
     "chunk_documents",
     "streaming_append_daily_quantiles",
@@ -2529,7 +2565,6 @@ _ROUND5_WINDOW = [
     "ddsketch_winsorized_mean",
     "ddsketch_daily_trend",
     "ddsketch_sliding_quantiles",
-    "sessionize_user_events",
 ]
 
 
@@ -2556,6 +2591,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ddsketch_conv_duration_by_first_role": q_ddsketch_conv_duration_by_first_role,
         "streaming_conv_features": q_streaming_conv_features,
         "transcript_collapse_retries": q_transcript_collapse_retries,
+        "transcript_training_set": q_transcript_training_set,
         "text_benchmark_contamination": q_text_benchmark_contamination,
         "dedup_components": q_dedup_components,
         "dedup_incremental_shard": q_dedup_incremental_shard,
@@ -2698,6 +2734,39 @@ def _cdf_oracle_sql() -> str:
     )
 
 
+def _training_set_oracle() -> str:
+    """DuckDB replay of q_transcript_training_set: the same stage chain
+    composed from each operator's SQL twin (plant -> collapse -> valid
+    filter -> truncate -> assemble -> anti-join the near-dup pair drops).
+    The assembled relation appears twice (once as output, once as the LSH
+    input) exactly as in the Spark plan."""
+    planted = ops_assemble.plant_neardup_conversations_sql(
+        transcripts_sql("events"), every=5
+    )
+    collapsed = ops_assemble.collapse_retries_sql(planted)
+    kept = (
+        "SELECT c.conv_id, c.turn_idx, c.role, c.text, c.tool, c.ts FROM ("
+        + collapsed
+        + ") c JOIN (SELECT conv_id FROM ("
+        + ops_assemble.validate_conversations_sql(collapsed)
+        + ") WHERE valid) v USING (conv_id)"
+    )
+    conv = ops_assemble.assemble_conversations_sql(
+        ops_assemble.truncate_conversations_sql(kept, token_budget=64)
+    )
+    pairs = opl.minhash_lsh_oracle(
+        src="(SELECT conv_id AS doc_id, sft_text AS text FROM (" + conv + "))",
+        threshold=0.5,
+    )
+    return (
+        "SELECT * FROM ("
+        + conv
+        + ") WHERE conv_id NOT IN (SELECT DISTINCT id_b FROM ("
+        + pairs
+        + ")) ORDER BY conv_id"
+    )
+
+
 def oracle_sql() -> dict[str, str]:
     collapsed_cfg = DDSketchConfig(alpha=ALPHA, max_bins=32, collapse="lowest")
     collapsed_highest_cfg = DDSketchConfig(alpha=ALPHA, max_bins=32, collapse="highest")
@@ -2743,6 +2812,7 @@ FROM sgcf_t GROUP BY conv_id ORDER BY conv_id""",
         " tool, cast(epoch_us(ts) AS bigint) AS ts_us FROM ("
         + ops_assemble.collapse_retries_sql(transcripts_sql("events"))
         + ") ORDER BY conv_id, turn_idx",
+        "transcript_training_set": _training_set_oracle(),
         # warehouse round-trip preserves blobs byte-exactly -> same pivot
         "sketch_warehouse_roundtrip": oracles.ddsketch_quantiles_sql(
             _TEXT_LEN_MEASURE_SQL, ["role"], QS, CFG, pivot=PIVOT, order_by="role"

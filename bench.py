@@ -366,6 +366,7 @@ def main() -> None:
         "ddsketch_conv_duration_by_first_role",
         "streaming_conv_features",
         "transcript_collapse_retries",
+        "transcript_training_set",
     ):
         best, steal = timed(lambda: qfns[name](spark, SF_DIR), 2)
         pipeline_timings[name] = round(best, 3)
