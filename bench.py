@@ -448,6 +448,11 @@ def main() -> None:
         }
         compact["queries_note"] = "top-20 by time; full set in BENCH_local_full.json"
         line = json.dumps(compact, separators=(",", ":"))
+    if len(line) > 1950:
+        # last-resort: headline + scaling only (full set is in the repo file)
+        compact["queries"] = {}
+        compact["queries_note"] = "see BENCH_local_full.json"
+        line = json.dumps(compact, separators=(",", ":"))
     print(line)
 
 
