@@ -1916,3 +1916,40 @@ def test_collapse_retries_runs_and_reindex(spark):
         ("c2", 0, "tool", "x", "tool-1", "2024-01-01 00:00:00"),
         ("c2", 1, "tool", "x", "tool-2", "2024-01-01 00:00:01"),
     ]
+
+
+def test_assemble_family_plans_single_conv_exchange(spark):
+    """The transcript operators' scale claims, plan-asserted: validation is
+    ONE conv_id aggregation exchange; truncation + assembly share ONE
+    conv_id exchange (the window's partitioning satisfies the downstream
+    aggregation's requirement)."""
+    from sketches_go_spark.operators import assemble
+
+    rows = [
+        (f"c{c}", i, "user", f"w{c} w{i} alpha", None, f"2024-01-01 00:{i:02d}:00")
+        for c in range(4)
+        for i in range(6)
+    ]
+    df = _turns_df(spark, rows)
+
+    plan = (
+        assemble.validate_conversations(df)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "windowspecdefinition" not in plan  # adjacency runs in-group
+
+    kept = assemble.truncate_conversations(df, token_budget=5).drop(
+        "n_tokens", "tokens_before"
+    )
+    plan2 = (
+        assemble.assemble_conversations(kept)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # window (prefix scan) and aggregation both key on conv_id -> one exchange
+    assert plan2.count("Exchange hashpartitioning") == 1
+    assert plan2.count("windowspecdefinition") == 1
