@@ -1953,3 +1953,45 @@ def test_assemble_family_plans_single_conv_exchange(spark):
     # window (prefix scan) and aggregation both key on conv_id -> one exchange
     assert plan2.count("Exchange hashpartitioning") == 1
     assert plan2.count("windowspecdefinition") == 1
+
+
+def test_collapse_truncate_invariants_randomized(spark):
+    """Seeded randomized invariants: retry collapse is idempotent (adjacent
+    survivors always differ, so a second pass is a no-op), and budget
+    truncation keeps a non-empty PREFIX of each conversation."""
+    import random
+
+    from sketches_go_spark.operators import assemble
+
+    rnd = random.Random(7)
+    rows = []
+    for c in range(30):
+        for i in range(rnd.randint(1, 12)):
+            role = rnd.choice(["user", "assistant", "tool"])
+            rows.append(
+                (
+                    f"c{c}",
+                    i,
+                    role,
+                    rnd.choice(["a", "b", "a b c"]),
+                    "tool-1" if role == "tool" and rnd.random() < 0.5 else None,
+                    f"2024-01-01 00:{i:02d}:{rnd.randint(0, 59):02d}",
+                )
+            )
+    df = _turns_df(spark, rows)
+    once = assemble.collapse_retries(df)
+    twice = assemble.collapse_retries(once)
+    key = lambda r: (r["conv_id"], r["turn_idx"], r["role"], r["text"], r["tool"])
+    assert sorted(map(key, once.collect())) == sorted(map(key, twice.collect()))
+
+    kept = assemble.truncate_conversations(once, token_budget=4)
+    per: dict = {}
+    for r in kept.collect():
+        per.setdefault(r["conv_id"], []).append(r["turn_idx"])
+    base: dict = {}
+    for r in once.collect():
+        base.setdefault(r["conv_id"], []).append(r["turn_idx"])
+    for cid, idxs in base.items():
+        ks = sorted(per.get(cid, []))
+        assert ks, f"{cid} lost every turn"
+        assert ks == sorted(idxs)[: len(ks)], f"{cid} kept a non-prefix"
