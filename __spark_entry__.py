@@ -1881,6 +1881,21 @@ def q_transcript_sft_render(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_transcript_sft_jsonl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSONL export of the assembled SFT examples — the interchange format
+    training loaders actually read.  One conv_id shuffle (the assembly);
+    the JSON render is a zero-shuffle Catalyst projection, and Spark's
+    ``to_json`` agrees byte-for-byte with DuckDB's
+    ``to_json(struct_pack(...))`` on separators, field order and string
+    escaping (quotes, backslash, control chars, unicode) — pinned by
+    test_sft_jsonl_matches_duckdb.  At scale: write ``line`` with
+    ``df.write.text`` straight out of the same plan, one file per
+    partition, no extra exchange."""
+    t = transcripts_from_events(spark, sf_dir)
+    conv = ops_assemble.assemble_conversations(t, max_turns=64)
+    return ops_assemble.sft_jsonl(conv).orderBy("conv_id")
+
+
 def q_dedup_conversations_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Conversation-level near-dup detection — the transcripts-payload twin
     of document MinHash-LSH: render each conversation to its role-tagged
@@ -2524,6 +2539,7 @@ _ROUND5_WINDOW = [
     "sample_weighted_by_quality",
     "sample_token_budget_by_source",
     "transcript_sft_render",
+    "transcript_sft_jsonl",
     "dedup_conversations_minhash",
     "transcript_validate",
     "transcript_truncate_budget",
@@ -2564,7 +2580,6 @@ _ROUND5_WINDOW = [
     "ddsketch_mad_by_event_type",
     "ddsketch_winsorized_mean",
     "ddsketch_daily_trend",
-    "ddsketch_sliding_quantiles",
 ]
 
 
@@ -2584,6 +2599,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_winnow_containment": q_text_winnow_containment,
         "text_repetition": q_text_repetition,
         "transcript_sft_render": q_transcript_sft_render,
+        "transcript_sft_jsonl": q_transcript_sft_jsonl,
         "dedup_conversations_minhash": q_dedup_conversations_minhash,
         "transcript_validate": q_transcript_validate,
         "transcript_truncate_budget": q_transcript_truncate_budget,
@@ -3476,6 +3492,12 @@ ORDER BY l_returnflag, l_linestatus""",
         "ddsketch_cdf_by_event_type": _cdf_oracle_sql(),
         "transcript_sft_render": ops_assemble.assemble_conversations_sql(
             transcripts_sql("events"), max_turns=64
+        )
+        + " ORDER BY conv_id",
+        "transcript_sft_jsonl": ops_assemble.sft_jsonl_sql(
+            ops_assemble.assemble_conversations_sql(
+                transcripts_sql("events"), max_turns=64
+            )
         )
         + " ORDER BY conv_id",
         "transcript_validate": ops_assemble.validate_conversations_sql(

@@ -133,6 +133,40 @@ JOIN (SELECT conv_id, max(turn_idx) AS mx FROM ({transcripts_sql}) GROUP BY conv
 WHERE {pick} % {int(every)} = 0 AND t.turn_idx < m.mx"""
 
 
+_SFT_JSON_FIELDS = (
+    "conv_id",
+    "n_turns",
+    "n_tool_turns",
+    "duration_us",
+    "sft_chars",
+    "sft_text",
+)
+
+
+def sft_jsonl(conv: DataFrame) -> DataFrame:
+    """Render assembled examples (:func:`assemble_conversations` output) as
+    JSONL — the SFT interchange format data loaders actually consume.
+    Returns ``(conv_id, line)``; write with ``df.select("line").write.text``
+    (one file per partition, no further shuffle).  Spark's ``to_json`` and
+    DuckDB's ``to_json(struct_pack(...))`` agree byte-for-byte on compact
+    separators, field order and string escaping (quote/backslash/control
+    chars), which is what makes the export oracle-checkable."""
+    return conv.select(
+        "conv_id",
+        F.to_json(F.struct(*_SFT_JSON_FIELDS)).alias("line"),
+    )
+
+
+def sft_jsonl_sql(assembled_sql: str) -> str:
+    """DuckDB replay of :func:`sft_jsonl` over an assembled-conversations
+    SELECT."""
+    pack = ", ".join(f"{f} := {f}" for f in _SFT_JSON_FIELDS)
+    return (
+        f"SELECT conv_id, to_json(struct_pack({pack}))::varchar AS line "
+        f"FROM ({assembled_sql})"
+    )
+
+
 def validate_conversations(df: DataFrame) -> DataFrame:
     """Per-conversation transcript-integrity report — the schema checks an
     SFT loader runs before training on a conversation:

@@ -1833,6 +1833,55 @@ def test_validate_conversations_matches_duckdb(spark, duck):
     assert got == want
 
 
+def test_sft_jsonl_matches_duckdb(spark, duck):
+    # Byte-for-byte JSON parity across engines, under adversarial strings:
+    # quotes, backslashes, tabs/CR inside turn text, unicode (incl. an
+    # astral-plane emoji), a control char, and an empty turn.  The rendered
+    # sft_text additionally embeds real newlines (the turn join), so the
+    # JSON escaping of \n is exercised on every conversation.
+    from sketches_go_spark.operators import assemble
+
+    rows = [
+        ("cq", 0, "user", 'say "hi" \\ now', None, "2024-01-01 00:00:00"),
+        ("cq", 1, "assistant", "ok\tsure\rdone", "t-1", "2024-01-01 00:00:05"),
+        ("cu", 0, "user", "café 日本 \U0001f600", None, "2024-01-01 00:01:00"),
+        ("cu", 1, "assistant", "a\x01b", None, "2024-01-01 00:01:30"),
+        ("ce", 0, "user", "", None, "2024-01-01 00:02:00"),
+    ]
+    df = _turns_df(spark, rows)
+    got = dict(
+        assemble.sft_jsonl(assemble.assemble_conversations(df))
+        .select("conv_id", "line")
+        .collect()
+    )
+    duck.register("sgj_pdf", df.toPandas())
+    duck.execute(
+        "CREATE OR REPLACE VIEW sgj_in AS SELECT conv_id, "
+        "cast(turn_idx AS int) AS turn_idx, role, text, tool, "
+        "cast(ts AS timestamp) AS ts FROM sgj_pdf"
+    )
+    want = dict(
+        duck.execute(
+            assemble.sft_jsonl_sql(
+                assemble.assemble_conversations_sql("SELECT * FROM sgj_in")
+            )
+        ).fetchall()
+    )
+    assert got == want
+    # every line is valid JSON whose sft_text round-trips to the render
+    import json
+
+    rendered = {
+        r["conv_id"]: r["sft_text"]
+        for r in assemble.assemble_conversations(df).collect()
+    }
+    for cid, line in got.items():
+        obj = json.loads(line)
+        assert obj["conv_id"] == cid
+        assert obj["sft_text"] == rendered[cid]
+        assert "\n" in obj["sft_text"] or cid == "ce"
+
+
 def test_truncate_conversations_budget_rule(spark):
     from sketches_go_spark.operators import assemble
 
