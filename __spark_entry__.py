@@ -1896,6 +1896,18 @@ def q_transcript_sft_jsonl(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ops_assemble.sft_jsonl(conv).orderBy("conv_id")
 
 
+def q_transcript_sft_examples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Turn-level (prompt, completion) extraction: every assistant turn
+    becomes a training example conditioned on up to 4 preceding rendered
+    turns.  Same single conv_id exchange as the assembly family; the
+    explode and prompt render are zero-shuffle
+    (operators/assemble.py::sft_examples)."""
+    t = transcripts_from_events(spark, sf_dir)
+    return ops_assemble.sft_examples(t, context_turns=4).orderBy(
+        "conv_id", "turn_idx"
+    )
+
+
 def q_dedup_conversations_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Conversation-level near-dup detection — the transcripts-payload twin
     of document MinHash-LSH: render each conversation to its role-tagged
@@ -2540,6 +2552,7 @@ _ROUND5_WINDOW = [
     "sample_token_budget_by_source",
     "transcript_sft_render",
     "transcript_sft_jsonl",
+    "transcript_sft_examples",
     "dedup_conversations_minhash",
     "transcript_validate",
     "transcript_truncate_budget",
@@ -2579,7 +2592,6 @@ _ROUND5_WINDOW = [
     "ddsketch_psi_value_drift",
     "ddsketch_mad_by_event_type",
     "ddsketch_winsorized_mean",
-    "ddsketch_daily_trend",
 ]
 
 
@@ -2600,6 +2612,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_repetition": q_text_repetition,
         "transcript_sft_render": q_transcript_sft_render,
         "transcript_sft_jsonl": q_transcript_sft_jsonl,
+        "transcript_sft_examples": q_transcript_sft_examples,
         "dedup_conversations_minhash": q_dedup_conversations_minhash,
         "transcript_validate": q_transcript_validate,
         "transcript_truncate_budget": q_transcript_truncate_budget,
@@ -3500,6 +3513,10 @@ ORDER BY l_returnflag, l_linestatus""",
             )
         )
         + " ORDER BY conv_id",
+        "transcript_sft_examples": ops_assemble.sft_examples_sql(
+            transcripts_sql("events"), context_turns=4
+        )
+        + " ORDER BY conv_id, turn_idx",
         "transcript_validate": ops_assemble.validate_conversations_sql(
             transcripts_sql("events")
         )

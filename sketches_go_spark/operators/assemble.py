@@ -167,6 +167,84 @@ def sft_jsonl_sql(assembled_sql: str) -> str:
     )
 
 
+def sft_examples(df: DataFrame, context_turns: int = 8) -> DataFrame:
+    """Turn-level training-example extraction — the other SFT last mile:
+    every assistant turn becomes one ``(prompt, completion)`` example whose
+    prompt is the render of up to ``context_turns`` immediately preceding
+    turns (any role, joined by newline) and whose completion is the rendered
+    assistant turn itself.  Assistant turns with no preceding context are
+    dropped (nothing to condition on).
+
+    Returns ``(conv_id, turn_idx, n_context, prompt_chars, prompt,
+    completion)``.
+
+    Scale shape: the SAME single conv_id-keyed exchange as
+    :func:`assemble_conversations` (group, in-array sort), then a
+    zero-shuffle ``posexplode`` — per-group state stays one conversation.
+    Output bytes are inherently ~``context_turns``× the corpus (each turn is
+    re-materialized in up to k prompts); ``context_turns`` is the knob, and
+    at 100 TB you write this straight to the training store rather than
+    re-shuffling it.
+    """
+    if context_turns <= 0:
+        raise ValueError("context_turns must be positive")
+    grouped = df.groupBy("conv_id").agg(
+        F.array_sort(
+            F.collect_list(F.struct("turn_idx", "role", "text", "tool"))
+        ).alias("_turns")
+    )
+    i = F.col("_i")  # 0-based position of the completion turn
+    n_ctx = F.least(F.lit(context_turns), i)
+    # 1-based slice start of the context window [i - n_ctx, i - 1]
+    start = i - n_ctx + F.lit(1)
+    prompt = F.array_join(
+        F.transform(F.slice(F.col("_turns"), start, n_ctx), _render), "\n"
+    )
+    t = F.col("_t")
+    return (
+        grouped.select(
+            "conv_id",
+            F.col("_turns"),
+            F.posexplode("_turns").alias("_i", "_t"),
+        )
+        .where((t["role"] == "assistant") & (i > 0))
+        .select(
+            "conv_id",
+            t["turn_idx"].alias("turn_idx"),
+            n_ctx.cast("int").alias("n_context"),
+            F.length(prompt).alias("prompt_chars"),
+            prompt.alias("prompt"),
+            _render(t).alias("completion"),
+        )
+    )
+
+
+def sft_examples_sql(transcripts_sql: str, context_turns: int = 8) -> str:
+    """DuckDB replay of :func:`sft_examples` — windowed ``string_agg`` over
+    a ``ROWS BETWEEN k PRECEDING AND 1 PRECEDING`` frame (frame order ==
+    turn order, verified), same render rule."""
+    k = int(context_turns)
+    return f"""WITH sgx_t AS (
+  SELECT conv_id, turn_idx, role,
+         concat('<|', role,
+                CASE WHEN tool IS NOT NULL THEN concat(':', tool) ELSE '' END,
+                '|>', coalesce(text, '')) AS rt
+  FROM ({transcripts_sql})
+),
+sgx_w AS (
+  SELECT conv_id, turn_idx, role, rt,
+         string_agg(rt, chr(10)) OVER w AS prompt,
+         cast(count(*) OVER w AS int) AS n_context
+  FROM sgx_t
+  WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx
+               ROWS BETWEEN {k} PRECEDING AND 1 PRECEDING)
+)
+SELECT conv_id, turn_idx, n_context,
+       cast(length(prompt) AS int) AS prompt_chars, prompt,
+       rt AS completion
+FROM sgx_w WHERE role = 'assistant' AND n_context >= 1"""
+
+
 def validate_conversations(df: DataFrame) -> DataFrame:
     """Per-conversation transcript-integrity report — the schema checks an
     SFT loader runs before training on a conversation:

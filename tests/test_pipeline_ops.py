@@ -1833,6 +1833,70 @@ def test_validate_conversations_matches_duckdb(spark, duck):
     assert got == want
 
 
+def test_sft_examples_prompt_windows(spark):
+    from sketches_go_spark.operators import assemble
+
+    rows = [
+        ("c1", 0, "user", "q0", None, "2024-01-01 00:00:00"),
+        ("c1", 1, "assistant", "a1", None, "2024-01-01 00:00:05"),
+        ("c1", 2, "tool", "r2", "t-9", "2024-01-01 00:00:06"),
+        ("c1", 3, "assistant", "a3", None, "2024-01-01 00:00:09"),
+        ("c1", 4, "user", "q4", None, "2024-01-01 00:00:20"),
+        ("c1", 5, "assistant", "a5", None, "2024-01-01 00:00:25"),
+        # assistant opener: no context, must be dropped
+        ("c2", 0, "assistant", "hello", None, "2024-01-01 01:00:00"),
+        ("c2", 1, "user", "hi", None, "2024-01-01 01:00:01"),
+    ]
+    out = {
+        r["turn_idx"]: r
+        for r in assemble.sft_examples(
+            _turns_df(spark, rows), context_turns=2
+        ).collect()
+        if r["conv_id"] == "c1"
+    }
+    assert sorted(out) == [1, 3, 5]
+    assert out[1]["prompt"] == "<|user|>q0" and out[1]["n_context"] == 1
+    assert out[3]["prompt"] == "<|assistant|>a1\n<|tool:t-9|>r2"
+    assert out[3]["completion"] == "<|assistant|>a3"
+    assert out[5]["prompt"] == "<|assistant|>a3\n<|user|>q4"
+    assert out[5]["n_context"] == 2
+    # c2's opening assistant turn produced no example
+    all_rows = assemble.sft_examples(
+        _turns_df(spark, rows), context_turns=2
+    ).collect()
+    assert not [r for r in all_rows if r["conv_id"] == "c2"]
+    with pytest.raises(ValueError):
+        assemble.sft_examples(_turns_df(spark, rows), context_turns=0)
+
+
+def test_sft_examples_matches_duckdb(spark, duck):
+    from sketches_go_spark.operators import assemble
+
+    rows = [
+        (f"c{c}", i,
+         ["user", "assistant", "tool", "assistant"][i % 4],
+         f"text {c} {i}", f"t-{i}" if i % 4 == 2 else None,
+         f"2024-01-01 00:{(i * 7) % 60:02d}:00")
+        for c in range(5)
+        for i in range(9)
+    ]
+    df = _turns_df(spark, rows)
+    got = {tuple(r) for r in assemble.sft_examples(df, 3).collect()}
+    duck.register("sgx_pdf", df.toPandas())
+    duck.execute(
+        "CREATE OR REPLACE VIEW sgx_in AS SELECT conv_id, "
+        "cast(turn_idx AS int) AS turn_idx, role, text, tool, "
+        "cast(ts AS timestamp) AS ts FROM sgx_pdf"
+    )
+    want = {
+        tuple(r)
+        for r in duck.execute(
+            assemble.sft_examples_sql("SELECT * FROM sgx_in", 3)
+        ).fetchall()
+    }
+    assert got == want and len(got) == 5 * 4  # 4 assistant turns w/ context
+
+
 def test_sft_jsonl_matches_duckdb(spark, duck):
     # Byte-for-byte JSON parity across engines, under adversarial strings:
     # quotes, backslashes, tabs/CR inside turn text, unicode (incl. an
