@@ -1908,6 +1908,38 @@ def q_transcript_sft_examples(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_transcript_strip_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate-turn strip: drop turns whose normalized text appears in
+    >= 5 distinct conversations (shared system prompts, templated tool
+    output), re-index densely.  The boilerplate set is the bounded output
+    of common_turns, broadcast into a map-side anti-join; the only wide
+    exchange is the re-rank window
+    (operators/assemble.py::strip_boilerplate).  ts surfaces as epoch
+    micros (portable-hash rule for timestamps)."""
+    t = transcripts_from_events(spark, sf_dir)
+    out = ops_assemble.strip_boilerplate(t, min_convs=5)
+    return out.select(
+        "conv_id",
+        "turn_idx",
+        "role",
+        "text",
+        "tool",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+    ).orderBy("conv_id", "turn_idx")
+
+
+def q_transcript_split_episodes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inactivity-gap episode split THEN assembly — conversations re-keyed
+    ``conv_id#<episode>`` wherever an inter-turn gap exceeds 12 h, and the
+    episode transcripts fed unchanged into the assembler (the point of the
+    transcripts-shaped contract).  Split is one conv_id window exchange;
+    assembly shuffles on the new episode key
+    (operators/assemble.py::split_conversations)."""
+    t = transcripts_from_events(spark, sf_dir)
+    episodes = ops_assemble.split_conversations(t, gap_us=43_200 * 10**6)
+    return ops_assemble.assemble_conversations(episodes).orderBy("conv_id")
+
+
 def q_dedup_conversations_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Conversation-level near-dup detection — the transcripts-payload twin
     of document MinHash-LSH: render each conversation to its role-tagged
@@ -2553,6 +2585,8 @@ _ROUND5_WINDOW = [
     "transcript_sft_render",
     "transcript_sft_jsonl",
     "transcript_sft_examples",
+    "transcript_strip_boilerplate",
+    "transcript_split_episodes",
     "dedup_conversations_minhash",
     "transcript_validate",
     "transcript_truncate_budget",
@@ -2590,8 +2624,6 @@ _ROUND5_WINDOW = [
     "ddsketch_daily_quantiles",
     "ddsketch_cube_range_quantiles",
     "ddsketch_psi_value_drift",
-    "ddsketch_mad_by_event_type",
-    "ddsketch_winsorized_mean",
 ]
 
 
@@ -2613,6 +2645,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transcript_sft_render": q_transcript_sft_render,
         "transcript_sft_jsonl": q_transcript_sft_jsonl,
         "transcript_sft_examples": q_transcript_sft_examples,
+        "transcript_strip_boilerplate": q_transcript_strip_boilerplate,
+        "transcript_split_episodes": q_transcript_split_episodes,
         "dedup_conversations_minhash": q_dedup_conversations_minhash,
         "transcript_validate": q_transcript_validate,
         "transcript_truncate_budget": q_transcript_truncate_budget,
@@ -3517,6 +3551,20 @@ ORDER BY l_returnflag, l_linestatus""",
             transcripts_sql("events"), context_turns=4
         )
         + " ORDER BY conv_id, turn_idx",
+        "transcript_strip_boilerplate": (
+            "SELECT conv_id, turn_idx, role, text, tool, "
+            "epoch_us(ts) AS ts_us FROM ("
+            + ops_assemble.strip_boilerplate_sql(
+                transcripts_sql("events"), min_convs=5
+            )
+            + ") ORDER BY conv_id, turn_idx"
+        ),
+        "transcript_split_episodes": ops_assemble.assemble_conversations_sql(
+            ops_assemble.split_conversations_sql(
+                transcripts_sql("events"), gap_us=43_200 * 10**6
+            )
+        )
+        + " ORDER BY conv_id",
         "transcript_validate": ops_assemble.validate_conversations_sql(
             transcripts_sql("events")
         )

@@ -484,6 +484,109 @@ FROM ({transcripts_sql})
 GROUP BY 1 HAVING count(DISTINCT conv_id) >= {int(min_convs)}"""
 
 
+def strip_boilerplate(df: DataFrame, min_convs: int = 2) -> DataFrame:
+    """Drop boilerplate turns — turns whose normalized text
+    :func:`common_turns` flags as shared across >= ``min_convs``
+    conversations (system prompts, templated tool output) — then re-index
+    ``turn_idx`` densely so downstream assembly sees gapless transcripts.
+
+    Scale shape: the boilerplate side is the *output* of common_turns —
+    bounded by the min_convs filter, tiny relative to the corpus — so it is
+    broadcast and the strip is a map-side anti-join; the only wide exchange
+    is the re-rank's conv_id window.  ``min_convs`` is the knob: raising it
+    shrinks the broadcast set (at 100 TB you'd also cap it with a
+    ``LIMIT``-by-frequency if a pathological corpus made the set large).
+    Empty-normalized turns count as boilerplate like any other repeated
+    text.
+    """
+    boiler = common_turns(df, min_convs).select("text_norm")
+    norm = F.lower(F.trim(F.coalesce(F.col("text"), F.lit(""))))
+    kept = df.join(
+        F.broadcast(boiler), norm == boiler["text_norm"], "left_anti"
+    )
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    return kept.select(
+        "conv_id",
+        (F.row_number().over(w) - 1).cast("int").alias("turn_idx"),
+        "role",
+        "text",
+        "tool",
+        "ts",
+    )
+
+
+def strip_boilerplate_sql(transcripts_sql: str, min_convs: int = 2) -> str:
+    """DuckDB replay of :func:`strip_boilerplate` — returns a
+    transcripts-shaped SELECT."""
+    return f"""SELECT conv_id,
+       cast(row_number() OVER (PARTITION BY conv_id ORDER BY turn_idx) - 1
+            AS int) AS turn_idx,
+       role, text, tool, ts
+FROM ({transcripts_sql})
+WHERE lower(trim(coalesce(text, ''))) NOT IN (
+  SELECT text_norm FROM ({common_turns_sql(transcripts_sql, min_convs)})
+)"""
+
+
+def split_conversations(df: DataFrame, gap_us: int) -> DataFrame:
+    """Episode split: start a new conversation episode whenever the
+    inter-turn gap exceeds ``gap_us`` microseconds — the transcript twin of
+    event sessionization, for agent traces where one conv_id spans days of
+    intermittent activity.  Episodes are re-keyed ``conv_id#<episode>`` with
+    ``turn_idx`` re-indexed densely inside each episode, so every downstream
+    assembly/validation/truncation operator works unchanged on the output.
+
+    Scale shape: one conv_id-keyed window shuffle shared by the lag-gap
+    test, the running episode counter (a cumulative sum over the same sort)
+    and the re-rank — a single Exchange, per-group state one conversation.
+    Ties/ordering: the walk is ordered by turn_idx (unique per conv), never
+    by ts, so out-of-order timestamps split deterministically.
+    """
+    if gap_us <= 0:
+        raise ValueError("gap_us must be positive")
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    tsu = F.unix_micros(F.col("ts").cast("timestamp"))
+    is_new = (tsu - F.lag(tsu).over(w) > F.lit(int(gap_us))).cast("int")
+    ep = F.sum(F.coalesce(is_new, F.lit(0))).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    we = Window.partitionBy("conv_id", "_ep").orderBy("turn_idx")
+    return (
+        df.withColumn("_ep", ep)
+        .select(
+            F.concat(
+                "conv_id", F.lit("#"), F.col("_ep").cast("string")
+            ).alias("conv_id"),
+            (F.row_number().over(we) - 1).cast("int").alias("turn_idx"),
+            "role",
+            "text",
+            "tool",
+            "ts",
+        )
+    )
+
+
+def split_conversations_sql(transcripts_sql: str, gap_us: int) -> str:
+    """DuckDB replay of :func:`split_conversations` — returns a
+    transcripts-shaped SELECT with episode-suffixed conv_id."""
+    return f"""SELECT concat(conv_id, '#', cast(_ep AS varchar)) AS conv_id,
+       cast(row_number() OVER (PARTITION BY conv_id, _ep ORDER BY turn_idx) - 1
+            AS int) AS turn_idx,
+       role, text, tool, ts
+FROM (
+  SELECT *,
+         sum(_new) OVER (PARTITION BY conv_id ORDER BY turn_idx
+                         ROWS UNBOUNDED PRECEDING) AS _ep
+  FROM (
+    SELECT *,
+           coalesce(cast(epoch_us(ts) - lag(epoch_us(ts))
+                           OVER (PARTITION BY conv_id ORDER BY turn_idx)
+                         > {int(gap_us)} AS int), 0) AS _new
+    FROM ({transcripts_sql})
+  )
+)"""
+
+
 def assemble_conversations_sql(
     transcripts_sql: str,
     max_turns: int | None = None,

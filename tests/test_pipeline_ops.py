@@ -1833,6 +1833,83 @@ def test_validate_conversations_matches_duckdb(spark, duck):
     assert got == want
 
 
+def test_strip_boilerplate_and_duckdb(spark, duck):
+    from sketches_go_spark.operators import assemble
+
+    sysmsg = "You are a helpful assistant."
+    rows = []
+    for c in range(4):
+        rows.append((f"c{c}", 0, "system", sysmsg, None, "2024-01-01 00:00:00"))
+        rows.append((f"c{c}", 1, "user", f"unique q {c}", None,
+                     "2024-01-01 00:00:01"))
+        rows.append((f"c{c}", 2, "assistant", f"unique a {c}", None,
+                     "2024-01-01 00:00:02"))
+    df = _turns_df(spark, rows)
+    out = assemble.strip_boilerplate(df, min_convs=3).collect()
+    # the shared system prompt is gone everywhere, survivors re-ranked 0..1
+    assert all(sysmsg not in (r["text"] or "") for r in out)
+    by_conv = {}
+    for r in out:
+        by_conv.setdefault(r["conv_id"], []).append(r["turn_idx"])
+    assert all(sorted(v) == [0, 1] for v in by_conv.values())
+    duck.register("sgs_pdf", df.toPandas())
+    duck.execute(
+        "CREATE OR REPLACE VIEW sgs_in AS SELECT conv_id, "
+        "cast(turn_idx AS int) AS turn_idx, role, text, tool, "
+        "cast(ts AS timestamp) AS ts FROM sgs_pdf"
+    )
+    got = {tuple(r[:5]) for r in out}
+    want = {
+        tuple(r[:5])
+        for r in duck.execute(
+            assemble.strip_boilerplate_sql("SELECT * FROM sgs_in", 3)
+        ).fetchall()
+    }
+    assert got == want
+
+
+def test_split_conversations_episodes(spark, duck):
+    from sketches_go_spark.operators import assemble
+
+    rows = [
+        # c1: gap of 2h between turn 1 and 2 -> two episodes
+        ("c1", 0, "user", "q0", None, "2024-01-01 00:00:00"),
+        ("c1", 1, "assistant", "a1", None, "2024-01-01 00:00:10"),
+        ("c1", 2, "user", "q2", None, "2024-01-01 02:00:10"),
+        ("c1", 3, "assistant", "a3", None, "2024-01-01 02:00:20"),
+        # c2: no gap -> one episode
+        ("c2", 0, "user", "hi", None, "2024-01-01 00:00:00"),
+        ("c2", 1, "assistant", "yo", None, "2024-01-01 00:00:01"),
+    ]
+    df = _turns_df(spark, rows)
+    out = sorted(
+        (r["conv_id"], r["turn_idx"], r["text"])
+        for r in assemble.split_conversations(df, gap_us=3600 * 10**6).collect()
+    )
+    assert out == [
+        ("c1#0", 0, "q0"), ("c1#0", 1, "a1"),
+        ("c1#1", 0, "q2"), ("c1#1", 1, "a3"),
+        ("c2#0", 0, "hi"), ("c2#0", 1, "yo"),
+    ]
+    duck.register("sgp_pdf", df.toPandas())
+    duck.execute(
+        "CREATE OR REPLACE VIEW sgp_in AS SELECT conv_id, "
+        "cast(turn_idx AS int) AS turn_idx, role, text, tool, "
+        "cast(ts AS timestamp) AS ts FROM sgp_pdf"
+    )
+    want = sorted(
+        (r[0], r[1], r[3])
+        for r in duck.execute(
+            assemble.split_conversations_sql(
+                "SELECT * FROM sgp_in", 3600 * 10**6
+            )
+        ).fetchall()
+    )
+    assert out == want
+    with pytest.raises(ValueError):
+        assemble.split_conversations(df, gap_us=0)
+
+
 def test_sft_examples_prompt_windows(spark):
     from sketches_go_spark.operators import assemble
 
