@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     IntegerType,
+    LongType,
     StringType,
     StructField,
     StructType,
@@ -108,3 +109,33 @@ def write_sketches(
 def read_sketches(spark: SparkSession, path: str) -> DataFrame:
     """Read a persisted sketch relation back (decode-ready blobs)."""
     return spark.read.parquet(path)
+
+
+#: schema of one assembled-example JSONL line
+#: (operators/assemble.py::sft_jsonl) — explicit for the same reason as
+#: TRANSCRIPT_SCHEMA: never infer over a 100-TB export.
+SFT_EXAMPLE_SCHEMA = StructType(
+    [
+        StructField("conv_id", StringType(), False),
+        StructField("n_turns", IntegerType(), False),
+        StructField("n_tool_turns", LongType(), False),
+        StructField("duration_us", LongType(), False),
+        StructField("sft_chars", IntegerType(), False),
+        StructField("sft_text", StringType(), False),
+    ]
+)
+
+
+def write_sft_jsonl(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """Write :func:`~sketches_go_spark.operators.assemble.sft_jsonl` output
+    (``line`` column) as plain text — one JSON object per line, one file per
+    partition, no shuffle beyond the plan that produced it.  This is the
+    handoff artifact a training loader consumes."""
+    df.select("line").write.mode(mode).text(path)
+
+
+def read_sft_jsonl(spark: SparkSession, path: str) -> DataFrame:
+    """Load an SFT JSONL export back into the assembled-example shape with
+    the explicit schema (malformed lines fail loudly under the default
+    PERMISSIVE->null, which the loader should treat as corruption)."""
+    return spark.read.schema(SFT_EXAMPLE_SCHEMA).json(path)

@@ -2144,6 +2144,38 @@ def test_assemble_family_plans_single_conv_exchange(spark):
     assert plan2.count("Exchange hashpartitioning") == 1
     assert plan2.count("windowspecdefinition") == 1
 
+    # episode split: lag-gap test, running episode counter, and per-episode
+    # re-rank all ride ONE conv_id exchange (hash(conv_id) satisfies the
+    # (conv_id, _ep) clustering requirement)
+    plan3 = (
+        assemble.split_conversations(df, gap_us=10**6)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan3.count("Exchange hashpartitioning") == 1
+
+    # example extraction: group+sort then zero-shuffle explode/render
+    plan4 = (
+        assemble.sft_examples(df, 4)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan4.count("Exchange hashpartitioning") == 1
+    assert "Generate posexplode" in plan4
+
+    # boilerplate strip: the boiler side must be BROADCAST (map-side
+    # anti-join), never a shuffled join on the raw turns
+    plan5 = (
+        assemble.strip_boilerplate(df, 2)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastExchange" in plan5
+    assert "SortMergeJoin" not in plan5
+
 
 def test_collapse_truncate_invariants_randomized(spark):
     """Seeded randomized invariants: retry collapse is idempotent (adjacent

@@ -96,3 +96,24 @@ def test_csv_roundtrip_hostile_text(spark, tmp_path):
     a = t.orderBy("conv_id", "turn_idx").toPandas()
     b = back.orderBy("conv_id", "turn_idx").toPandas()
     assert a.equals(b)
+
+
+def test_sft_jsonl_sink_roundtrip(spark, tmp_path):
+    """The SFT training-set handoff: assembled examples -> JSONL text files
+    -> read back under the explicit SFT_EXAMPLE_SCHEMA must reproduce the
+    assembled relation exactly (including hostile text: quotes, backslashes,
+    newlines-in-render, unicode)."""
+    from sketches_go_spark.operators import assemble
+
+    t = transcripts_from_events(spark, SF_SMOKE).drop("value")
+    conv = assemble.assemble_conversations(t)
+    path = str(tmp_path / "sft_jsonl")
+    sio.write_sft_jsonl(assemble.sft_jsonl(conv), path)
+    back = sio.read_sft_jsonl(spark, path)
+    # JSON file sources relax nullability — names and types must still match
+    assert [(f.name, f.dataType) for f in back.schema.fields] == [
+        (f.name, f.dataType) for f in sio.SFT_EXAMPLE_SCHEMA.fields
+    ]
+    a = conv.orderBy("conv_id").toPandas()
+    b = back.orderBy("conv_id").toPandas()
+    assert a.equals(b)
