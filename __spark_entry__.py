@@ -1940,6 +1940,15 @@ def q_transcript_split_episodes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ops_assemble.assemble_conversations(episodes).orderBy("conv_id")
 
 
+def q_transcript_role_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus role-transition matrix — counts and global share of each
+    ``from_role -> to_role`` adjacency (the dialogue-grammar screen run
+    before training; operators/assemble.py::role_transitions).  One conv_id
+    window exchange collapsed map-side into a ≤ |roles|² relation."""
+    t = transcripts_from_events(spark, sf_dir)
+    return ops_assemble.role_transitions(t).orderBy("from_role", "to_role")
+
+
 def q_dedup_conversations_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Conversation-level near-dup detection — the transcripts-payload twin
     of document MinHash-LSH: render each conversation to its role-tagged
@@ -2647,6 +2656,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transcript_sft_examples": q_transcript_sft_examples,
         "transcript_strip_boilerplate": q_transcript_strip_boilerplate,
         "transcript_split_episodes": q_transcript_split_episodes,
+        "transcript_role_transitions": q_transcript_role_transitions,
         "dedup_conversations_minhash": q_dedup_conversations_minhash,
         "transcript_validate": q_transcript_validate,
         "transcript_truncate_budget": q_transcript_truncate_budget,
@@ -3565,6 +3575,10 @@ ORDER BY l_returnflag, l_linestatus""",
             )
         )
         + " ORDER BY conv_id",
+        "transcript_role_transitions": ops_assemble.role_transitions_sql(
+            transcripts_sql("events")
+        )
+        + " ORDER BY from_role, to_role",
         "transcript_validate": ops_assemble.validate_conversations_sql(
             transcripts_sql("events")
         )

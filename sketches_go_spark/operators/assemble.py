@@ -618,3 +618,53 @@ sga_render AS (
 SELECT r.conv_id, r.n_turns, f.n_tool_turns, f.duration_us,
        cast(length(r.sft_text) AS int) AS sft_chars, r.sft_text
 FROM sga_render r JOIN sga_full f USING (conv_id)"""
+
+
+def role_transitions(df: DataFrame) -> DataFrame:
+    """Dialogue-structure matrix: how often each role follows each other
+    role across the corpus — ``(from_role, to_role, n, frac)`` where
+    ``frac`` is the share of ALL transitions.  This is the grammar check a
+    transcript corpus gets before training (user→assistant should dominate;
+    assistant→assistant runs flag retry storms; tool→user flags broken
+    traces) and the input to any Markov-order sanity model.
+
+    Scale shape: the lag pairing is one conv_id window Exchange (the same
+    partitioning every other transcript op uses), immediately collapsed by a
+    map-side-combinable count into a ≤ |roles|² relation; the global share
+    comes from a broadcast cross join of the 1-row total onto that tiny
+    matrix (same pattern as rebalanced_sample), never a corpus-wide window."""
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    pairs = df.select(
+        F.lag("role").over(w).alias("from_role"),
+        F.col("role").alias("to_role"),
+    ).where(F.col("from_role").isNotNull())
+    out = pairs.groupBy("from_role", "to_role").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    total = out.agg(F.sum("n").alias("_total"))
+    return out.join(F.broadcast(total), how="cross").select(
+        "from_role",
+        "to_role",
+        "n",
+        (F.col("n").cast("double") / F.col("_total").cast("double")).alias(
+            "frac"
+        ),
+    )
+
+
+def role_transitions_sql(transcripts_sql: str) -> str:
+    """DuckDB replay of :func:`role_transitions` (bigint/bigint double
+    division is correctly rounded on both engines, so ``frac`` is
+    bit-identical)."""
+    return f"""SELECT from_role, to_role, n,
+       cast(n AS double) / cast(sum(n) OVER () AS double) AS frac
+FROM (
+  SELECT from_role, to_role, count(*) AS n
+  FROM (
+    SELECT lag(role) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS from_role,
+           role AS to_role
+    FROM ({transcripts_sql})
+  )
+  WHERE from_role IS NOT NULL
+  GROUP BY from_role, to_role
+)"""

@@ -2217,3 +2217,41 @@ def test_collapse_truncate_invariants_randomized(spark):
         ks = sorted(per.get(cid, []))
         assert ks, f"{cid} lost every turn"
         assert ks == sorted(idxs)[: len(ks)], f"{cid} kept a non-prefix"
+
+
+def test_role_transitions_matrix(spark, duck):
+    from sketches_go_spark.operators import assemble
+
+    rows = [
+        # c1: user->assistant->assistant (retry) ->tool
+        ("c1", 0, "user", "q", None, "2024-01-01 00:00:00"),
+        ("c1", 1, "assistant", "a", None, "2024-01-01 00:00:01"),
+        ("c1", 2, "assistant", "a2", None, "2024-01-01 00:00:02"),
+        ("c1", 3, "tool", "t", "grep", "2024-01-01 00:00:03"),
+        # c2: user->assistant  (first turns never count as a transition)
+        ("c2", 0, "user", "hi", None, "2024-01-01 00:00:00"),
+        ("c2", 1, "assistant", "yo", None, "2024-01-01 00:00:01"),
+    ]
+    df = _turns_df(spark, rows)
+    got = sorted(
+        (r["from_role"], r["to_role"], r["n"], r["frac"])
+        for r in assemble.role_transitions(df).collect()
+    )
+    assert got == [
+        ("assistant", "assistant", 1, 0.25),
+        ("assistant", "tool", 1, 0.25),
+        ("user", "assistant", 2, 0.5),
+    ]
+    duck.register("sgp_rt_pdf", df.toPandas())
+    duck.execute(
+        "CREATE OR REPLACE VIEW sgp_rt_in AS SELECT conv_id, "
+        "cast(turn_idx AS int) AS turn_idx, role, text, tool, "
+        "cast(ts AS timestamp) AS ts FROM sgp_rt_pdf"
+    )
+    want = sorted(
+        tuple(r)
+        for r in duck.execute(
+            assemble.role_transitions_sql("SELECT * FROM sgp_rt_in")
+        ).fetchall()
+    )
+    assert got == want
