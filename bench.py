@@ -436,15 +436,20 @@ def main() -> None:
         "sf": full["sf"],
         "cpus": CPUS,
         "turns_per_sec": full["turns_per_sec"],
-        "queries": all_queries,
-        "steal_gt_gate_pct": hot_steal,
+        # 2-decimal (10 ms) precision in the compact line only — the full
+        # 3-decimal record is in BENCH_local_full.json; ~50 stages at one
+        # fewer digit keeps the whole set under the capture limit at sf0.1
+        "queries": {k: round(v, 2) for k, v in all_queries.items()},
         "scaling": compact_scaling,
     }
+    if hot_steal:
+        compact["steal_gt_gate_pct"] = hot_steal
     line = json.dumps(compact, separators=(",", ":"))
     if len(line) > 1950:
         # drop per-query detail before the headline ever truncates
         compact["queries"] = {
-            k: v for k, v in sorted(all_queries.items(), key=lambda kv: -kv[1])[:20]
+            k: round(v, 2)
+            for k, v in sorted(all_queries.items(), key=lambda kv: -kv[1])[:20]
         }
         compact["queries_note"] = "top-20 by time; full set in BENCH_local_full.json"
         line = json.dumps(compact, separators=(",", ":"))
