@@ -95,19 +95,29 @@ def _run_scaling() -> dict:
         return rec
 
     cache2 = sb.materialize(SCALING_TURNS)
-    low = _measure_tagged(8)
-    high = _measure_tagged(32)
-    speedup = low["best_sec"] / high["best_sec"]
+    # three anchor widths give TWO N->4N pairs: 2->8 (the only pair this
+    # shared host can physically supply 4x resources for — measured 0.76
+    # efficiency on a quiet window) and 8->32 (capped by the host's 2.31x
+    # pure-CPU ceiling; see the BASELINE.md N->4N sweep table)
+    levels = {c: _measure_tagged(c) for c in (2, 8, 32)}
+
+    def _pair(lo: int, hi: int) -> dict:
+        speedup = levels[lo]["best_sec"] / levels[hi]["best_sec"]
+        return {"speedup": round(speedup, 3), "efficiency": round(speedup / 4.0, 3)}
+
     return {
         "turns": SCALING_TURNS,
-        "local8_turns_per_sec": low["turns_per_sec"],
-        "local8_steal_pct": low["steal_pct"],
-        "local32_turns_per_sec": high["turns_per_sec"],
-        "local32_steal_pct": high["steal_pct"],
-        "speedup_8_to_32": round(speedup, 3),
-        "efficiency": round(speedup / 4.0, 3),
+        "levels": {
+            str(c): {
+                "turns_per_sec": r["turns_per_sec"],
+                "steal_pct": r["steal_pct"],
+            }
+            for c, r in levels.items()
+        },
+        "n_to_4n": {"2_to_8": _pair(2, 8), "8_to_32": _pair(8, 32)},
         "target": 0.8,
-        "caveat": "shared host; see BASELINE.md host-capacity audit",
+        "caveat": "shared host; see BASELINE.md host-capacity audit and "
+        "N->4N sweep (efficiency decays with ABSOLUTE width, not the ratio)",
     }
 
 
@@ -415,19 +425,25 @@ def main() -> None:
         for k, v in {**steal_tags, **pipeline_steal}.items()
         if v > STEAL_GATE_PCT
     }
+    # cap the compact line's steal list at the 5 hottest — an interference
+    # wave can tag a dozen stages and push the line past the capture limit,
+    # which would drop per-query detail; the full tag set is in the record
+    hot_steal = dict(
+        sorted(hot_steal.items(), key=lambda kv: -kv[1])[:5]
+    )
     compact_scaling = None
     if scaling:
         compact_scaling = {
-            k: scaling[k]
-            for k in (
-                "turns",
-                "local8_turns_per_sec",
-                "local32_turns_per_sec",
-                "speedup_8_to_32",
-                "efficiency",
-                "local8_steal_pct",
-                "local32_steal_pct",
-            )
+            "turns": scaling["turns"],
+            "tps": {
+                c: lv["turns_per_sec"] for c, lv in scaling["levels"].items()
+            },
+            "steal": {
+                c: lv["steal_pct"] for c, lv in scaling["levels"].items()
+            },
+            "eff": {
+                p: v["efficiency"] for p, v in scaling["n_to_4n"].items()
+            },
         }
     compact = {
         "metric": "headline sketch queries best-case time",
