@@ -1940,6 +1940,24 @@ def q_transcript_split_episodes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ops_assemble.assemble_conversations(episodes).orderBy("conv_id")
 
 
+def q_pack_conversations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SFT batch prep end-to-end: assemble the transcripts, then lay the
+    rendered conversations end-to-end into capacity-512 token windows across
+    8 hash shards (operators/packing.py::pack_sequences over
+    operators/assemble.py::assemble_conversations) — the conversation-level
+    twin of pack_sequences_documents, proving the packer runs unchanged on
+    assembled transcripts."""
+    t = transcripts_from_events(spark, sf_dir)
+    conv = ops_assemble.assemble_conversations(t)
+    toks = conv.select(
+        F.col("conv_id").alias("doc_id"),
+        ops_text.token_count(F.col("sft_text")).alias("n_tokens"),
+    )
+    return packing.pack_sequences(toks, capacity=512, n_shards=8).orderBy(
+        "doc_id", "pack_id"
+    )
+
+
 def q_transcript_role_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus role-transition matrix — counts and global share of each
     ``from_role -> to_role`` adjacency (the dialogue-grammar screen run
@@ -2657,6 +2675,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transcript_strip_boilerplate": q_transcript_strip_boilerplate,
         "transcript_split_episodes": q_transcript_split_episodes,
         "transcript_role_transitions": q_transcript_role_transitions,
+        "pack_conversations": q_pack_conversations,
         "dedup_conversations_minhash": q_dedup_conversations_minhash,
         "transcript_validate": q_transcript_validate,
         "transcript_truncate_budget": q_transcript_truncate_budget,
@@ -3579,6 +3598,18 @@ ORDER BY l_returnflag, l_linestatus""",
             transcripts_sql("events")
         )
         + " ORDER BY from_role, to_role",
+        "pack_conversations": packing.pack_sequences_sql(
+            "SELECT conv_id AS doc_id, "
+            + ops_text.token_count_sql("sft_text")
+            + " AS n_tokens FROM ("
+            + ops_assemble.assemble_conversations_sql(
+                transcripts_sql("events")
+            )
+            + ")",
+            capacity=512,
+            n_shards=8,
+        )
+        + " ORDER BY doc_id, pack_id",
         "transcript_validate": ops_assemble.validate_conversations_sql(
             transcripts_sql("events")
         )
