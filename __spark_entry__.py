@@ -2331,6 +2331,20 @@ def q_sample_rebalance_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sample_temperature_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature mixture sampling (alpha=0.5): reshape the language
+    mixture toward sqrt(n) shares under the same total budget — the
+    standard multilingual-training rebalancing rule
+    (operators/sampling.py::temperature_sample).  sqrt-chain + fixed-point
+    integer normalization make the kept set bit-exactly replayable."""
+    docs = _docs(spark, sf_dir)
+    return (
+        sampling.temperature_sample(docs, ["lang"], alpha=0.5)
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    )
+
+
 def q_embedding_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SEMANTIC dedup groups: the embedding near-dup pair graph (banded
     cosine LSH) closed into components — the same large-star/small-star
@@ -2731,6 +2745,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_canonical_docs": q_dedup_canonical_docs,
         "ddsketch_outlier_rate": q_ddsketch_outlier_rate,
         "sample_rebalance_by_lang": q_sample_rebalance_by_lang,
+        "sample_temperature_by_lang": q_sample_temperature_by_lang,
         "chunk_documents": q_chunk_documents,
         "streaming_append_daily_quantiles": q_streaming_append_daily_quantiles,
         "ddsketch_ks_drift": q_ddsketch_ks_drift,
@@ -3762,6 +3777,13 @@ FROM documents d JOIN sgs_thr USING (lang)
 WHERE cast(concat('0x', substr(md5(concat('rebal:',
         cast(d.doc_id as string))), 1, 15)) as bigint) % 1000000 < thr
 ORDER BY doc_id""",
+        "sample_temperature_by_lang": (
+            "SELECT doc_id, lang FROM ("
+            + sampling.temperature_sample_sql(
+                "SELECT * FROM documents", ["lang"], alpha=0.5
+            )
+            + ") ORDER BY doc_id"
+        ),
         "kmeans_assign_embeddings": sim.kmeans_oracle_sql(k=8, iters=3),
         "sim_topk_bruteforce": opl.brute_force_topk_oracle(),
         "sim_ann_lsh": opl.lsh_ann_topk_oracle(),

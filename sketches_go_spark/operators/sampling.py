@@ -333,3 +333,139 @@ sgs_rk AS (
   FROM sgs_w
 )
 SELECT {select_cols} FROM sgs_rk WHERE rk <= {k}"""
+
+
+#: fixed-point bits for the n^alpha scores in temperature_sample — makes the
+#: cross-group normalizing sum INTEGER (order-free, exact) instead of a
+#: float reduction whose result depends on aggregation order
+TEMP_SCALE_BITS = 20
+
+
+def _alpha_score(n: Column, alpha: float) -> Column:
+    """n^alpha as a Column for the dyadic alphas whose result is BIT-EXACT
+    on every IEEE-754 engine: sqrt is correctly rounded by the standard
+    (pow is not), so 0.5 = sqrt, 0.25 = sqrt∘sqrt, and 0.75 = their product
+    (one more correctly-rounded multiply) agree double-for-double between
+    Spark's JVM and the DuckDB oracle."""
+    d = n.cast("double")
+    if alpha == 0.5:
+        return F.sqrt(d)
+    if alpha == 0.25:
+        return F.sqrt(F.sqrt(d))
+    if alpha == 0.75:
+        return F.sqrt(d) * F.sqrt(F.sqrt(d))
+    raise ValueError(
+        "temperature_sample supports alpha in {0.25, 0.5, 0.75} (sqrt-chain "
+        "exact cross-engine); general pow(n, alpha) is not correctly "
+        f"rounded portably — got {alpha}"
+    )
+
+
+def _alpha_score_sql(expr: str, alpha: float) -> str:
+    if alpha == 0.5:
+        return f"sqrt(cast({expr} AS double))"
+    if alpha == 0.25:
+        return f"sqrt(sqrt(cast({expr} AS double)))"
+    if alpha == 0.75:
+        return f"sqrt(cast({expr} AS double)) * sqrt(sqrt(cast({expr} AS double)))"
+    raise ValueError(f"unsupported alpha {alpha}")
+
+
+def temperature_sample(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    alpha: float = 0.5,
+    id_col: str | Column = "doc_id",
+    salt: str = "temp:",
+    hash_fn=None,
+) -> DataFrame:
+    """Temperature mixture sampling: reshape the per-group row counts toward
+    ``n_g^alpha`` (the standard multilingual/multi-source LLM-training rule —
+    alpha=1 keeps the natural mixture, alpha->0 approaches uniform) by
+    keeping each group at rate ``min(1, T * n_g^alpha / sum_h n_h^alpha / n_g)``
+    where ``T`` is the corpus size — i.e. redistribute the SAME total budget
+    toward the flattened mixture, downsample-only (no replacement).
+
+    Cross-engine exactness: ``n^alpha`` uses sqrt chains (correctly rounded
+    by IEEE-754, unlike pow), the score is fixed-pointed to an integer
+    (``floor(score * 2^TEMP_SCALE_BITS)``) so the cross-group normalizing
+    SUM is exact and order-free, and the final rate is a fixed-order chain
+    of individually correctly-rounded double ops — the DuckDB oracle
+    reproduces the kept set row-for-row.
+
+    Scale shape: identical to :func:`rebalanced_sample` — one tiny per-group
+    count aggregation, thresholds broadcast back onto the rows, the filter a
+    pure projection; ZERO shuffles on the data rows."""
+    reserved = {"_n", "_s", "_ts", "_tn", "_thr"} & set(df.columns)
+    if reserved:
+        raise ValueError(
+            "df must not carry columns named "
+            + ", ".join(sorted(reserved))
+            + " (reserved for temperature_sample's threshold join)"
+        )
+    hash_fn = hash_fn or portable_hash64
+    counts = df.groupBy(*group_cols).agg(F.count(F.lit(1)).alias("_n"))
+    score = F.floor(
+        _alpha_score(F.col("_n"), alpha) * F.lit(float(1 << TEMP_SCALE_BITS))
+    ).cast("bigint")
+    counts = counts.withColumn("_s", score)
+    totals = counts.agg(
+        F.sum("_s").alias("_ts"), F.sum("_n").alias("_tn")
+    )
+    counts = counts.join(F.broadcast(totals), how="cross")
+    # fixed-order double chain: ((T * s) / total_s) / n  — every operand is
+    # an exactly-representable integer, every op correctly rounded once
+    rate = (
+        F.col("_tn").cast("double") * F.col("_s").cast("double")
+        / F.col("_ts").cast("double")
+        / F.col("_n").cast("double")
+    )
+    thr = F.floor(F.least(F.lit(1.0), rate) * F.lit(SPLIT_BUCKETS))
+    counts = counts.select(*group_cols, thr.alias("_thr"))
+    bucket = F.pmod(hash_fn(_col(id_col), salt), F.lit(SPLIT_BUCKETS))
+    return (
+        df.join(F.broadcast(counts), list(group_cols))
+        .where(bucket < F.col("_thr"))
+        .drop("_thr")
+    )
+
+
+def temperature_sample_sql(
+    src_sql: str,
+    group_cols: Sequence[str],
+    alpha: float = 0.5,
+    id_col: str = "doc_id",
+    salt: str = "temp:",
+) -> str:
+    """DuckDB replay of :func:`temperature_sample` over ``src_sql``."""
+    from sketches_go_spark.functions.expressions import (
+        portable_hash64_sql_duckdb,
+    )
+
+    gcols = ", ".join(group_cols)
+    h = portable_hash64_sql_duckdb(f"d.{id_col}", salt)
+    return f"""WITH sgs_tmp_cnt AS (
+  SELECT {gcols}, count(*) AS n FROM ({src_sql}) GROUP BY {gcols}
+),
+sgs_tmp_sc AS (
+  SELECT {gcols}, n,
+         cast(floor({_alpha_score_sql('n', alpha)} * {float(1 << TEMP_SCALE_BITS)})
+              AS bigint) AS s
+  FROM sgs_tmp_cnt
+),
+sgs_tmp_tot AS (
+  SELECT cast(sum(s) AS bigint) AS ts, cast(sum(n) AS bigint) AS tn
+  FROM sgs_tmp_sc
+),
+sgs_tmp_thr AS (
+  SELECT {gcols},
+         cast(floor(least(1.0,
+             cast(tn AS double) * cast(s AS double)
+             / cast(ts AS double) / cast(n AS double)) * {SPLIT_BUCKETS})
+           AS bigint) AS thr
+  FROM sgs_tmp_sc CROSS JOIN sgs_tmp_tot
+)
+SELECT d.* EXCLUDE (thr)
+FROM (SELECT src.*, t.thr
+      FROM ({src_sql}) src JOIN sgs_tmp_thr t USING ({gcols})) d
+WHERE {h} % {SPLIT_BUCKETS} < d.thr"""

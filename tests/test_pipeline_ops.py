@@ -2255,3 +2255,55 @@ def test_role_transitions_matrix(spark, duck):
         ).fetchall()
     )
     assert got == want
+
+
+def test_temperature_sample_mixture_and_replay(spark, duck):
+    """Temperature mixture sampling: kept counts track T*n^a/sum(n^a),
+    the mixture flattens monotonically as alpha drops, membership is
+    partition-invariant, and DuckDB replays the exact kept set at every
+    supported alpha (sqrt-chain exactness)."""
+    from sketches_go_spark.operators.sampling import (
+        temperature_sample,
+        temperature_sample_sql,
+    )
+
+    langs = ["en"] * 3200 + ["de"] * 800 + ["zh"] * 200 + ["sw"] * 50
+    pdf = pd.DataFrame({"doc_id": np.arange(len(langs)), "lang": langs})
+    df = spark.createDataFrame(pdf)
+    duck.register("sgs_temp_pdf", pdf)
+
+    kept = {}
+    for alpha in (0.25, 0.5, 0.75):
+        out = temperature_sample(df, ["lang"], alpha=alpha).toPandas()
+        got = set(out["doc_id"])
+        want = {
+            r[0]
+            for r in duck.execute(
+                temperature_sample_sql(
+                    "SELECT * FROM sgs_temp_pdf", ["lang"], alpha=alpha
+                )
+            ).fetchall()
+        }
+        assert got == want, alpha  # exact cross-engine replay
+        kept[alpha] = out.groupby("lang").size()
+        # expected rate: min(1, T * n^a / sum(n^a) / n)
+        n = pd.Series({"en": 3200, "de": 800, "zh": 200, "sw": 50})
+        s = np.floor(np.sqrt(n if alpha == 0.5 else n) ** (alpha / 0.5) * 2**20)
+        exp = np.minimum(n, n.sum() * s / s.sum())
+        for g in n.index:
+            assert abs(kept[alpha][g] - exp[g]) <= 4 * np.sqrt(exp[g]) + 2, (
+                alpha, g, kept[alpha][g], exp[g])
+    # flattening is monotone in alpha: lower alpha keeps LESS of the biggest
+    # group and ALL of the smallest
+    assert kept[0.25]["en"] < kept[0.5]["en"] < kept[0.75]["en"]
+    assert kept[0.25]["sw"] == 50 and kept[0.75]["sw"] == 50
+    # partition invariance
+    out2 = temperature_sample(df.repartition(17), ["lang"], alpha=0.5)
+    assert set(out2.toPandas()["doc_id"]) == set(
+        temperature_sample(df, ["lang"], alpha=0.5).toPandas()["doc_id"]
+    )
+    # guards
+    with pytest.raises(ValueError):
+        temperature_sample(df, ["lang"], alpha=0.3)
+    with pytest.raises(ValueError):
+        temperature_sample(df.withColumn("_thr", F.lit(1)), ["lang"])
