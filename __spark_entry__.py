@@ -2331,6 +2331,23 @@ def q_sample_rebalance_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sketch_range_bucket_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-driven range partitioning: balanced split points from ONE
+    DDSketch pass (the sample-sort primitive without Spark's reservoir
+    sampling), every row tagged with its bucket by a broadcast boundary
+    array, then per-bucket counts — near-uniform by construction
+    (plans/layout.py::range_bucket_by_sketch)."""
+    from sketches_go_spark.plans import layout
+
+    ev = _events_value(spark, sf_dir).select("v")
+    out = layout.range_bucket_by_sketch(ev, "v", 16, CFG)
+    return (
+        out.groupBy("range_bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("range_bucket")
+    )
+
+
 def q_sample_temperature_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temperature mixture sampling (alpha=0.5): reshape the language
     mixture toward sqrt(n) shares under the same total budget — the
@@ -2746,6 +2763,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ddsketch_outlier_rate": q_ddsketch_outlier_rate,
         "sample_rebalance_by_lang": q_sample_rebalance_by_lang,
         "sample_temperature_by_lang": q_sample_temperature_by_lang,
+        "sketch_range_bucket_counts": q_sketch_range_bucket_counts,
         "chunk_documents": q_chunk_documents,
         "streaming_append_daily_quantiles": q_streaming_append_daily_quantiles,
         "ddsketch_ks_drift": q_ddsketch_ks_drift,
@@ -3777,6 +3795,21 @@ FROM documents d JOIN sgs_thr USING (lang)
 WHERE cast(concat('0x', substr(md5(concat('rebal:',
         cast(d.doc_id as string))), 1, 15)) as bigint) % 1000000 < thr
 ORDER BY doc_id""",
+        "sketch_range_bucket_counts": (
+            "WITH sgs_rb AS ("
+            + oracles.ddsketch_quantiles_sql(
+                "SELECT 'all' AS _g, cast(value AS double) AS v FROM events",
+                ["_g"],
+                [k / 16 for k in range(1, 16)],
+                CFG,
+            )
+            + """)
+SELECT cast((SELECT count(*) FROM sgs_rb b WHERE b.est <= m.v) AS int)
+         AS range_bucket,
+       count(*) AS n
+FROM (SELECT cast(value AS double) AS v FROM events) m
+GROUP BY range_bucket ORDER BY range_bucket"""
+        ),
         "sample_temperature_by_lang": (
             "SELECT doc_id, lang FROM ("
             + sampling.temperature_sample_sql(

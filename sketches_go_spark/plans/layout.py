@@ -53,3 +53,71 @@ def read_bucketed(spark: SparkSession, table: str) -> DataFrame:
     columns — co-located joins/windows/groupBys on those columns skip their
     Exchange)."""
     return spark.table(table)
+
+
+def sketch_range_boundaries(
+    df: DataFrame,
+    value_col: str,
+    n_buckets: int,
+    config=None,
+) -> DataFrame:
+    """Balanced range-partition boundaries from ONE DDSketch pass: the
+    (n_buckets-1) interior quantiles of ``value_col``, as a single-row
+    DataFrame carrying a sorted ``_bs`` array.  This is the classic
+    sample-sort primitive done sketch-side — at 100 TB a range partitioner
+    needs split points, and a mergeable sketch gets them in one map-side
+    combinable aggregation instead of a sampling pass + driver sort
+    (cf. Spark's RangePartitioner reservoir sampling).  Accuracy: each split
+    lands within the sketch's relative-accuracy alpha of the true quantile,
+    so bucket sizes are balanced to ~(1 ± 2*alpha)."""
+    from pyspark.sql import functions as F
+
+    from sketches_go_spark.functions import ddsketch_fns as dd
+
+    if n_buckets < 2:
+        raise ValueError("n_buckets must be >= 2")
+    src = df.select(
+        F.lit("all").alias("_g"), F.col(value_col).cast("double").alias("_v")
+    )
+    bins = dd.build_bins(src, "_v", ["_g"], config)
+    qs = [k / n_buckets for k in range(1, n_buckets)]
+    qdf = dd.quantiles_from_bins(bins, ["_g"], qs, config)
+    return qdf.groupBy("_g").agg(
+        F.array_sort(F.collect_list("est")).alias("_bs")
+    ).select("_bs")
+
+
+def range_bucket_by_sketch(
+    df: DataFrame,
+    value_col: str,
+    n_buckets: int,
+    config=None,
+    bucket_name: str = "range_bucket",
+) -> DataFrame:
+    """Tag every row with its sketch-derived range bucket: ``bucket =
+    #boundaries <= value`` (ties go up), in 0..n_buckets-1.  The boundary
+    row is BROADCAST onto the data (a 1-row array — no shuffle on the data
+    rows beyond the tiny bins aggregation that built it); downstream code
+    can ``repartition(n, bucket_name)`` / ``sortWithinPartitions`` to get a
+    balanced global range layout without Spark's sampling pass.
+
+    Repeated boundaries (a value mass heavier than 1/n_buckets) leave the
+    intermediate buckets empty rather than splitting the tie — determinism
+    over balance, same rule as every hash threshold here."""
+    from pyspark.sql import functions as F
+
+    reserved = {"_g", "_bs", bucket_name} & set(df.columns)
+    if reserved:
+        raise ValueError(
+            "df must not carry columns named "
+            + ", ".join(sorted(reserved))
+            + " (reserved for range_bucket_by_sketch)"
+        )
+    bounds = sketch_range_boundaries(df, value_col, n_buckets, config)
+    v = F.col(value_col).cast("double")
+    bucket = F.size(F.filter(F.col("_bs"), lambda b: b <= v)).cast("int")
+    return (
+        df.join(F.broadcast(bounds), how="cross")
+        .withColumn(bucket_name, bucket)
+        .drop("_bs")
+    )

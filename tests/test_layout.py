@@ -58,3 +58,38 @@ def test_bucketed_layout_elides_window_shuffle(spark, tmp_path):
         assert rb == ru
     finally:
         spark.sql("DROP TABLE IF EXISTS sgs_test_bucketed")
+
+
+def test_range_bucket_by_sketch_balance_and_plan(spark):
+    """Sketch-derived range buckets: counts balanced within the sketch's
+    accuracy on a continuous distribution, bucket ids dense in
+    [0, n_buckets), boundaries broadcast (no SortMergeJoin / extra
+    data-row Exchange on the tagging side), reserved-column guard."""
+    import numpy as np
+    import pandas as pd
+    import pytest
+    from pyspark.sql import functions as F
+
+    from sketches_go_spark.core.ddsketch import DDSketchConfig
+
+    rng = np.random.default_rng(7)
+    n, k = 50_000, 16
+    pdf = pd.DataFrame({"v": rng.lognormal(2.0, 1.0, n)})
+    df = spark.createDataFrame(pdf)
+    out = layout.range_bucket_by_sketch(df, "v", k, DDSketchConfig(alpha=0.01))
+    counts = (
+        out.groupBy("range_bucket").count().orderBy("range_bucket").toPandas()
+    )
+    assert list(counts["range_bucket"]) == list(range(k))
+    # each bucket within ~15% of n/k (alpha=0.01 sketch + 50k-sample noise)
+    assert (abs(counts["count"] - n / k) < 0.15 * n / k).all()
+    # ordering invariant: bucket is monotone in v
+    two = out.select("v", "range_bucket").orderBy("v").toPandas()
+    assert two["range_bucket"].is_monotonic_increasing
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "SortMergeJoin" not in plan
+    with pytest.raises(ValueError):
+        layout.range_bucket_by_sketch(df.withColumn("_bs", F.lit(1)), "v", k)
+    with pytest.raises(ValueError):
+        layout.range_bucket_by_sketch(df, "v", 1)
