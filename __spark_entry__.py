@@ -2362,6 +2362,19 @@ def q_sample_temperature_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sample_resample_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature mixture RESAMPLING (alpha=0.5): low-resource languages
+    replicated (with copy_idx) and high-resource ones decimated toward
+    sqrt(n) shares — the with-replacement upsampling rule
+    (operators/sampling.py::temperature_resample)."""
+    docs = _docs(spark, sf_dir)
+    return (
+        sampling.temperature_resample(docs, ["lang"], alpha=0.5)
+        .select("doc_id", "lang", "copy_idx")
+        .orderBy("doc_id", "copy_idx")
+    )
+
+
 def q_embedding_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SEMANTIC dedup groups: the embedding near-dup pair graph (banded
     cosine LSH) closed into components — the same large-star/small-star
@@ -2764,6 +2777,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_rebalance_by_lang": q_sample_rebalance_by_lang,
         "sample_temperature_by_lang": q_sample_temperature_by_lang,
         "sketch_range_bucket_counts": q_sketch_range_bucket_counts,
+        "sample_resample_by_lang": q_sample_resample_by_lang,
         "chunk_documents": q_chunk_documents,
         "streaming_append_daily_quantiles": q_streaming_append_daily_quantiles,
         "ddsketch_ks_drift": q_ddsketch_ks_drift,
@@ -3816,6 +3830,13 @@ GROUP BY range_bucket ORDER BY range_bucket"""
                 "SELECT * FROM documents", ["lang"], alpha=0.5
             )
             + ") ORDER BY doc_id"
+        ),
+        "sample_resample_by_lang": (
+            "SELECT doc_id, lang, copy_idx FROM ("
+            + sampling.temperature_resample_sql(
+                "SELECT * FROM documents", ["lang"], alpha=0.5
+            )
+            + ") ORDER BY doc_id, copy_idx"
         ),
         "kmeans_assign_embeddings": sim.kmeans_oracle_sql(k=8, iters=3),
         "sim_topk_bruteforce": opl.brute_force_topk_oracle(),

@@ -469,3 +469,133 @@ SELECT d.* EXCLUDE (thr)
 FROM (SELECT src.*, t.thr
       FROM ({src_sql}) src JOIN sgs_tmp_thr t USING ({gcols})) d
 WHERE {h} % {SPLIT_BUCKETS} < d.thr"""
+
+
+def temperature_resample(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    alpha: float = 0.5,
+    id_col: str | Column = "doc_id",
+    salt: str = "temp:",
+    hash_fn=None,
+) -> DataFrame:
+    """Temperature mixture RESAMPLING — the with-replacement twin of
+    :func:`temperature_sample`: every group is brought to ``T * n^alpha /
+    sum(n^alpha)`` rows by REPLICATION as well as decimation (the
+    low-resource-language upsampling rule).  Each row emits
+    ``floor(rate)`` copies plus one more iff its id hash clears the
+    fractional-part threshold; output rows carry ``copy_idx`` so downstream
+    shuffles/dedup can tell copies apart.
+
+    Same exactness contract as temperature_sample (sqrt-chain scores,
+    integer normalizing sum, fixed-order double chain); the copy count is a
+    pure per-row function of (group counts, id hash), so the multiset is
+    reproducible under any partitioning and engine.
+
+    Scale shape: thresholds broadcast; the fan-out is ``posexplode`` over an
+    ``array_repeat`` — bounded by ceil(rate), no joins on the data rows.
+    Upsampled groups are small by definition, so the replication factor is
+    bounded by T/n_min in the worst case — cap alpha-flattening (or
+    pre-filter microscopic groups) if that bound matters."""
+    reserved = {"_n", "_s", "_ts", "_tn", "_base", "_fthr", "copy_idx"} & set(
+        df.columns
+    )
+    if reserved:
+        raise ValueError(
+            "df must not carry columns named "
+            + ", ".join(sorted(reserved))
+            + " (reserved for temperature_resample)"
+        )
+    hash_fn = hash_fn or portable_hash64
+    counts = df.groupBy(*group_cols).agg(F.count(F.lit(1)).alias("_n"))
+    score = F.floor(
+        _alpha_score(F.col("_n"), alpha) * F.lit(float(1 << TEMP_SCALE_BITS))
+    ).cast("bigint")
+    counts = counts.withColumn("_s", score)
+    totals = counts.agg(F.sum("_s").alias("_ts"), F.sum("_n").alias("_tn"))
+    counts = counts.join(F.broadcast(totals), how="cross")
+    rate = (
+        F.col("_tn").cast("double") * F.col("_s").cast("double")
+        / F.col("_ts").cast("double")
+        / F.col("_n").cast("double")
+    )
+    base = F.floor(rate).cast("int")
+    fthr = F.floor((rate - F.floor(rate)) * F.lit(SPLIT_BUCKETS)).cast(
+        "bigint"
+    )
+    counts = counts.select(
+        *group_cols, base.alias("_base"), fthr.alias("_fthr")
+    )
+    bucket = F.pmod(hash_fn(_col(id_col), salt), F.lit(SPLIT_BUCKETS))
+    copies = F.col("_base") + (bucket < F.col("_fthr")).cast("int")
+    tagged = df.join(F.broadcast(counts), list(group_cols)).withColumn(
+        "_copies", copies
+    )
+    out_cols = [c for c in df.columns]
+    return (
+        tagged.where(F.col("_copies") > 0)
+        .select(
+            *out_cols,
+            F.posexplode(
+                F.array_repeat(F.lit(1), F.col("_copies"))
+            ).alias("copy_idx", "_one"),
+        )
+        .drop("_one")
+    )
+
+
+def temperature_resample_sql(
+    src_sql: str,
+    group_cols: Sequence[str],
+    alpha: float = 0.5,
+    id_col: str = "doc_id",
+    salt: str = "temp:",
+) -> str:
+    """DuckDB replay of :func:`temperature_resample` over ``src_sql``."""
+    from sketches_go_spark.functions.expressions import (
+        portable_hash64_sql_duckdb,
+    )
+
+    gcols = ", ".join(group_cols)
+    h = portable_hash64_sql_duckdb(f"d.{id_col}", salt)
+    return f"""WITH sgs_tr_cnt AS (
+  SELECT {gcols}, count(*) AS n FROM ({src_sql}) GROUP BY {gcols}
+),
+sgs_tr_sc AS (
+  SELECT {gcols}, n,
+         cast(floor({_alpha_score_sql('n', alpha)} * {float(1 << TEMP_SCALE_BITS)})
+              AS bigint) AS s
+  FROM sgs_tr_cnt
+),
+sgs_tr_tot AS (
+  SELECT cast(sum(s) AS bigint) AS ts, cast(sum(n) AS bigint) AS tn
+  FROM sgs_tr_sc
+),
+sgs_tr_thr AS (
+  SELECT {gcols},
+         cast(floor(rate) AS int) AS base,
+         cast(floor((rate - floor(rate)) * {SPLIT_BUCKETS}) AS bigint) AS fthr
+  FROM (
+    SELECT {gcols},
+           cast(tn AS double) * cast(s AS double)
+           / cast(ts AS double) / cast(n AS double) AS rate
+    FROM sgs_tr_sc CROSS JOIN sgs_tr_tot
+  )
+),
+sgs_tr_tagged AS (
+  SELECT d.*,
+         d.base + CASE WHEN {h} % {SPLIT_BUCKETS} < d.fthr
+                       THEN 1 ELSE 0 END AS copies
+  FROM (SELECT src.*, t.base, t.fthr
+        FROM ({src_sql}) src JOIN sgs_tr_thr t USING ({gcols})) d
+)
+SELECT * EXCLUDE (base, fthr, copies, copy_idx),
+       cast(copy_idx AS int) AS copy_idx
+FROM (
+  SELECT g.*, u.copy_idx
+  FROM sgs_tr_tagged g
+  CROSS JOIN LATERAL (
+    SELECT unnest(range(g.copies)) AS copy_idx
+  ) u
+  WHERE g.copies > 0
+)"""

@@ -2307,3 +2307,48 @@ def test_temperature_sample_mixture_and_replay(spark, duck):
         temperature_sample(df, ["lang"], alpha=0.3)
     with pytest.raises(ValueError):
         temperature_sample(df.withColumn("_thr", F.lit(1)), ["lang"])
+
+
+def test_temperature_resample_upsamples_and_replays(spark, duck):
+    """With-replacement temperature resampling: small groups get REPLICATED
+    toward T*n^a/sum(n^a), copy_idx is dense per kept row, the multiset is
+    partition-invariant, and DuckDB replays it exactly."""
+    from sketches_go_spark.operators.sampling import (
+        temperature_resample,
+        temperature_resample_sql,
+    )
+
+    langs = ["en"] * 3200 + ["sw"] * 50
+    pdf = pd.DataFrame({"doc_id": np.arange(len(langs)), "lang": langs})
+    df = spark.createDataFrame(pdf)
+    duck.register("sgs_tr_pdf", pdf)
+
+    out = temperature_resample(df, ["lang"], alpha=0.5).toPandas()
+    got = sorted(map(tuple, out[["doc_id", "lang", "copy_idx"]].values.tolist()))
+    want = sorted(
+        (r[0], r[1], r[2])
+        for r in duck.execute(
+            temperature_resample_sql(
+                "SELECT * FROM sgs_tr_pdf", ["lang"], alpha=0.5
+            )
+        ).fetchall()
+    )
+    assert got == want  # exact multiset replay (copies included)
+    sizes = out.groupby("lang").size()
+    n = pd.Series({"en": 3200, "sw": 50})
+    s = np.floor(np.sqrt(n) * 2**20)
+    exp = n.sum() * s / s.sum()
+    assert sizes["sw"] > 50  # genuinely upsampled
+    for g in n.index:
+        assert abs(sizes[g] - exp[g]) <= 4 * np.sqrt(exp[g]) + 2, (g, sizes[g], exp[g])
+    # every kept doc's copy_idx is dense 0..copies-1
+    dense = out.groupby("doc_id")["copy_idx"].agg(["min", "max", "count"])
+    assert (dense["min"] == 0).all()
+    assert (dense["max"] + 1 == dense["count"]).all()
+    # partition invariance
+    out2 = temperature_resample(df.repartition(11), ["lang"], alpha=0.5).toPandas()
+    assert sorted(map(tuple, out2[["doc_id", "copy_idx"]].values.tolist())) == sorted(
+        map(tuple, out[["doc_id", "copy_idx"]].values.tolist())
+    )
+    with pytest.raises(ValueError):
+        temperature_resample(df.withColumn("copy_idx", F.lit(0)), ["lang"])
