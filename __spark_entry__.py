@@ -2665,6 +2665,11 @@ _ROUND5_WINDOW = [
     "ddsketch_conv_duration_by_first_role",
     "streaming_conv_features",
     "transcript_collapse_retries",
+    "transcript_role_transitions",
+    "pack_conversations",
+    "sample_temperature_by_lang",
+    "sample_resample_by_lang",
+    "sketch_range_bucket_counts",
     "transcript_training_set",
     # --- code path changed this round
     "chunk_documents",
@@ -2690,12 +2695,11 @@ _ROUND5_WINDOW = [
     "ddsketch_summary_by_role",
     "ddsketch_udaf_textlen_by_role",
     "sql_api_textlen_by_role",
-    "ddsketch_proto_roundtrip",
-    "ddsketch_udaf_bins_strategy",
-    "ddsketch_daily_quantiles",
-    "ddsketch_cube_range_quantiles",
-    "ddsketch_psi_value_drift",
 ]
+# rotated out to keep the window at 50 (all r3/r4-verified, unchanged):
+# ddsketch_proto_roundtrip, ddsketch_udaf_bins_strategy,
+# ddsketch_daily_quantiles, ddsketch_cube_range_quantiles,
+# ddsketch_psi_value_drift — r6 re-verification candidates
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
