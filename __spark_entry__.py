@@ -1967,6 +1967,20 @@ def q_transcript_role_transitions(spark: SparkSession, sf_dir: str) -> DataFrame
     return ops_assemble.role_transitions(t).orderBy("from_role", "to_role")
 
 
+def q_transcript_tool_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tool co-occurrence / affinity matrix over DAY baskets: for every
+    unordered tool pair, on how many calendar days both fired, with Jaccard
+    affinity — "which tools fail together" ops analysis; pairs generated
+    inside each basket's sorted tool set, per-tool totals broadcast; no
+    self-join of the raw turns (operators/assemble.py::tool_cooccurrence).
+    (Day baskets because the synthetic derivation keys tool on the
+    conversation, making conv-basket pairs structurally empty.)"""
+    t = transcripts_from_events(spark, sf_dir)
+    return ops_assemble.tool_cooccurrence(
+        t, basket=F.to_date("ts")
+    ).orderBy("tool_a", "tool_b")
+
+
 def q_dedup_conversations_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Conversation-level near-dup detection — the transcripts-payload twin
     of document MinHash-LSH: render each conversation to its role-tagged
@@ -2665,6 +2679,7 @@ _ROUND5_WINDOW = [
     "ddsketch_conv_duration_by_first_role",
     "streaming_conv_features",
     "transcript_collapse_retries",
+    "transcript_tool_affinity",
     "transcript_role_transitions",
     "pack_conversations",
     "sample_temperature_by_lang",
@@ -2692,14 +2707,14 @@ _ROUND5_WINDOW = [
     "ddsketch_bins_histogram",
     # --- last verified round 3
     "ddsketch_latency_by_tool",
-    "ddsketch_summary_by_role",
     "ddsketch_udaf_textlen_by_role",
     "sql_api_textlen_by_role",
 ]
 # rotated out to keep the window at 50 (all r3/r4-verified, unchanged):
 # ddsketch_proto_roundtrip, ddsketch_udaf_bins_strategy,
 # ddsketch_daily_quantiles, ddsketch_cube_range_quantiles,
-# ddsketch_psi_value_drift — r6 re-verification candidates
+# ddsketch_psi_value_drift, ddsketch_summary_by_role
+# — r6 re-verification candidates
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -2723,6 +2738,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transcript_strip_boilerplate": q_transcript_strip_boilerplate,
         "transcript_split_episodes": q_transcript_split_episodes,
         "transcript_role_transitions": q_transcript_role_transitions,
+        "transcript_tool_affinity": q_transcript_tool_affinity,
         "pack_conversations": q_pack_conversations,
         "dedup_conversations_minhash": q_dedup_conversations_minhash,
         "transcript_validate": q_transcript_validate,
@@ -3649,6 +3665,10 @@ ORDER BY l_returnflag, l_linestatus""",
             transcripts_sql("events")
         )
         + " ORDER BY from_role, to_role",
+        "transcript_tool_affinity": ops_assemble.tool_cooccurrence_sql(
+            transcripts_sql("events"), basket_expr="cast(ts AS date)"
+        )
+        + " ORDER BY tool_a, tool_b",
         "pack_conversations": packing.pack_sequences_sql(
             "SELECT conv_id AS doc_id, "
             + ops_text.token_count_sql("sft_text")

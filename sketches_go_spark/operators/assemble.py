@@ -668,3 +668,87 @@ FROM (
   WHERE from_role IS NOT NULL
   GROUP BY from_role, to_role
 )"""
+
+
+def tool_cooccurrence(
+    df: DataFrame, basket: str | Column = "conv_id"
+) -> DataFrame:
+    """Tool-affinity matrix over agent traces: for every unordered pair of
+    tools, in how many BASKETS both fired, plus the Jaccard affinity
+    ``n_ab / (n_a + n_b - n_ab)`` — the market-basket screen for tool-use
+    corpora (which capabilities co-fire, which are islands).  ``basket``
+    defaults to the conversation; pass e.g. ``F.to_date("ts")`` for
+    "which tools fail together on the same day" ops analysis.
+
+    Scale shape: ONE basket-keyed aggregation (``collect_set`` dedupes
+    in-group, so there is no separate DISTINCT shuffle); pairs are generated
+    INSIDE each basket's sorted tool array (index-driven transform — bounded
+    by tools-per-basket squared), and the per-tool totals relation is tiny
+    and broadcast.  No self-join of the raw turns.
+    """
+    b = F.col(basket) if isinstance(basket, str) else basket
+    per_conv = df.where(F.col("tool").isNotNull()).groupBy(
+        b.alias("_bk")
+    ).agg(
+        F.array_sort(F.collect_set("tool")).alias("_ts")
+    )
+    ts = F.col("_ts")
+
+    def _pairs_for(t: Column, i: Column) -> Column:
+        # deliberate 2-param transform: the second argument IS the element
+        # index — pair t with every LATER element of the sorted array
+        rest = F.slice(ts, i + F.lit(2), F.size(ts))
+        return F.transform(
+            rest, lambda u: F.struct(t.alias("tool_a"), u.alias("tool_b"))
+        )
+
+    pairs = per_conv.select(
+        F.explode(F.flatten(F.transform(ts, _pairs_for))).alias("_p")
+    ).select("_p.tool_a", "_p.tool_b")
+    n_ab = pairs.groupBy("tool_a", "tool_b").agg(F.count(F.lit(1)).alias("n"))
+    totals = per_conv.select(F.explode(ts).alias("tool")).groupBy("tool").agg(
+        F.count(F.lit(1)).alias("_nt")
+    )
+    return (
+        n_ab.join(
+            F.broadcast(totals.withColumnRenamed("tool", "tool_a")), "tool_a"
+        )
+        .withColumnRenamed("_nt", "_na")
+        .join(
+            F.broadcast(totals.withColumnRenamed("tool", "tool_b")), "tool_b"
+        )
+        .withColumnRenamed("_nt", "_nb")
+        .select(
+            "tool_a",
+            "tool_b",
+            "n",
+            (
+                F.col("n").cast("double")
+                / (F.col("_na") + F.col("_nb") - F.col("n")).cast("double")
+            ).alias("affinity"),
+        )
+    )
+
+
+def tool_cooccurrence_sql(
+    transcripts_sql: str, basket_expr: str = "conv_id"
+) -> str:
+    """DuckDB replay of :func:`tool_cooccurrence` (self-join formulation —
+    provably the same pair multiset as the in-array generation, and the
+    affinity arithmetic is one exact-int subtraction + one double divide)."""
+    return f"""WITH sgs_pc AS (
+  SELECT DISTINCT {basket_expr} AS conv_id, tool
+  FROM ({transcripts_sql}) WHERE tool IS NOT NULL
+),
+sgs_pairs AS (
+  SELECT a.tool AS tool_a, b.tool AS tool_b, count(*) AS n
+  FROM sgs_pc a JOIN sgs_pc b
+    ON a.conv_id = b.conv_id AND a.tool < b.tool
+  GROUP BY a.tool, b.tool
+),
+sgs_tc AS (SELECT tool, count(*) AS nt FROM sgs_pc GROUP BY tool)
+SELECT p.tool_a, p.tool_b, p.n,
+       cast(p.n AS double) / cast(ta.nt + tb.nt - p.n AS double) AS affinity
+FROM sgs_pairs p
+JOIN sgs_tc ta ON ta.tool = p.tool_a
+JOIN sgs_tc tb ON tb.tool = p.tool_b"""

@@ -2352,3 +2352,42 @@ def test_temperature_resample_upsamples_and_replays(spark, duck):
     )
     with pytest.raises(ValueError):
         temperature_resample(df.withColumn("copy_idx", F.lit(0)), ["lang"])
+
+
+def test_tool_cooccurrence_matrix(spark, duck):
+    from sketches_go_spark.operators import assemble
+
+    rows = [
+        # c1 uses grep+sed, c2 grep+sed+awk, c3 only grep (no pairs), c4 none
+        ("c1", 0, "assistant", "a", "grep", "2024-01-01 00:00:00"),
+        ("c1", 1, "assistant", "b", "sed", "2024-01-01 00:00:01"),
+        ("c1", 2, "assistant", "c", "grep", "2024-01-01 00:00:02"),
+        ("c2", 0, "assistant", "d", "sed", "2024-01-01 00:00:00"),
+        ("c2", 1, "assistant", "e", "awk", "2024-01-01 00:00:01"),
+        ("c2", 2, "assistant", "f", "grep", "2024-01-01 00:00:02"),
+        ("c3", 0, "assistant", "g", "grep", "2024-01-01 00:00:00"),
+        ("c4", 0, "user", "h", None, "2024-01-01 00:00:00"),
+    ]
+    df = _turns_df(spark, rows)
+    got = sorted(
+        map(tuple, assemble.tool_cooccurrence(df).collect())
+    )
+    # n_grep=3, n_sed=2, n_awk=1
+    assert got == [
+        ("awk", "grep", 1, 1 / 3),   # 1/(1+3-1)
+        ("awk", "sed", 1, 0.5),      # 1/(1+2-1)
+        ("grep", "sed", 2, 2 / 3),   # 2/(3+2-2)
+    ]
+    duck.register("sgs_tco_pdf", df.toPandas())
+    duck.execute(
+        "CREATE OR REPLACE VIEW sgs_tco_in AS SELECT conv_id, "
+        "cast(turn_idx AS int) AS turn_idx, role, text, tool, "
+        "cast(ts AS timestamp) AS ts FROM sgs_tco_pdf"
+    )
+    want = sorted(
+        tuple(r)
+        for r in duck.execute(
+            assemble.tool_cooccurrence_sql("SELECT * FROM sgs_tco_in")
+        ).fetchall()
+    )
+    assert got == want
