@@ -2362,6 +2362,18 @@ def q_sketch_range_bucket_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_text_strip_common_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style corpus line dedup: boilerplate lines occurring in >= 3
+    distinct documents stripped, text reassembled in order.  The synthetic
+    corpus has no shared lines, so known positives are planted
+    deterministically first (hash-picked docs get a boilerplate header) —
+    the oracle replays plant and strip
+    (operators/text.py::strip_common_lines)."""
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    planted = ops_text.plant_common_lines(docs, every=4)
+    return ops_text.strip_common_lines(planted, min_docs=3).orderBy("doc_id")
+
+
 def q_sample_temperature_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temperature mixture sampling (alpha=0.5): reshape the language
     mixture toward sqrt(n) shares under the same total budget — the
@@ -2684,6 +2696,7 @@ _ROUND5_WINDOW = [
     "pack_conversations",
     "sample_temperature_by_lang",
     "sample_resample_by_lang",
+    "text_strip_common_lines",
     "sketch_range_bucket_counts",
     "transcript_training_set",
     # --- code path changed this round
@@ -2708,13 +2721,12 @@ _ROUND5_WINDOW = [
     # --- last verified round 3
     "ddsketch_latency_by_tool",
     "ddsketch_udaf_textlen_by_role",
-    "sql_api_textlen_by_role",
 ]
 # rotated out to keep the window at 50 (all r3/r4-verified, unchanged):
 # ddsketch_proto_roundtrip, ddsketch_udaf_bins_strategy,
 # ddsketch_daily_quantiles, ddsketch_cube_range_quantiles,
-# ddsketch_psi_value_drift, ddsketch_summary_by_role
-# — r6 re-verification candidates
+# ddsketch_psi_value_drift, ddsketch_summary_by_role,
+# sql_api_textlen_by_role — r6 re-verification candidates
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -2796,6 +2808,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ddsketch_outlier_rate": q_ddsketch_outlier_rate,
         "sample_rebalance_by_lang": q_sample_rebalance_by_lang,
         "sample_temperature_by_lang": q_sample_temperature_by_lang,
+        "text_strip_common_lines": q_text_strip_common_lines,
         "sketch_range_bucket_counts": q_sketch_range_bucket_counts,
         "sample_resample_by_lang": q_sample_resample_by_lang,
         "chunk_documents": q_chunk_documents,
@@ -3848,6 +3861,13 @@ SELECT cast((SELECT count(*) FROM sgs_rb b WHERE b.est <= m.v) AS int)
 FROM (SELECT cast(value AS double) AS v FROM events) m
 GROUP BY range_bucket ORDER BY range_bucket"""
         ),
+        "text_strip_common_lines": ops_text.strip_common_lines_sql(
+            ops_text.plant_common_lines_sql(
+                "SELECT doc_id, text FROM documents", every=4
+            ),
+            min_docs=3,
+        )
+        + " ORDER BY doc_id",
         "sample_temperature_by_lang": (
             "SELECT doc_id, lang FROM ("
             + sampling.temperature_sample_sql(

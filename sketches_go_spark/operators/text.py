@@ -808,3 +808,120 @@ sgs_ranked AS (
 )
 SELECT {id_col}, cast(rank AS int) AS rank, term, tf, df, score
 FROM sgs_ranked WHERE rank <= {k}"""
+
+
+def plant_common_lines(
+    df: DataFrame,
+    boiler: str = "subscribe to our newsletter for updates",
+    every: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    salt: str = "boiler:",
+) -> DataFrame:
+    """Test-fixture planter (same pattern as plant_neardup_conversations):
+    prepend a boilerplate line to every hash-picked document so line-level
+    corpus dedup has known positives in a corpus without shared lines.
+    Deterministic — the DuckDB oracle replays the exact planted set."""
+    if every <= 0:
+        raise ValueError("every must be positive")
+    picked = portable_hash64(F.col(id_col), salt) % every == 0
+    planted = F.when(
+        picked, F.concat(F.lit(boiler + "\n"), F.col(text_col))
+    ).otherwise(F.col(text_col))
+    return df.withColumn(text_col, planted)
+
+
+def plant_common_lines_sql(
+    src_sql: str,
+    boiler: str = "subscribe to our newsletter for updates",
+    every: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    salt: str = "boiler:",
+) -> str:
+    """DuckDB replay of :func:`plant_common_lines` — returns a SELECT with
+    the same columns, ``text_col`` rewritten."""
+    from sketches_go_spark.functions.expressions import (
+        portable_hash64_sql_duckdb,
+    )
+
+    pick = portable_hash64_sql_duckdb(id_col, salt)
+    return f"""SELECT * REPLACE (
+  CASE WHEN {pick} % {int(every)} = 0
+       THEN concat('{boiler}', chr(10), {text_col})
+       ELSE {text_col} END AS {text_col}
+) FROM ({src_sql})"""
+
+
+def strip_common_lines(
+    df: DataFrame,
+    min_docs: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """C4-style corpus line dedup: drop every line whose normalized form
+    (lower+trim) occurs in >= ``min_docs`` DISTINCT documents (navigation
+    chrome, subscribe prompts, license footers), then reassemble each
+    document's remaining lines in their original order.  Documents whose
+    every line is boilerplate disappear (nothing left to keep).
+
+    Scale shape: explode to (doc, idx, line) — one pass; the common-line
+    relation is built with a count-distinct aggregation and is SMALL by
+    construction (only lines crossing the min_docs bar), so it BROADCASTS
+    into a map-side anti-join exactly like strip_boilerplate; reassembly is
+    the one doc-keyed shuffle.  Empty lines are never counted as common and
+    always survive."""
+    if min_docs < 2:
+        raise ValueError("min_docs must be >= 2")
+    d = df.where(F.col(text_col).isNotNull())
+    lines = d.select(
+        id_col, F.posexplode(F.split(F.col(text_col), "\n")).alias("idx", "line")
+    )
+    key = F.lower(F.trim(F.col("line")))
+    common = (
+        lines.where(F.length(key) > 0)
+        .groupBy(key.alias("_k"))
+        .agg(F.countDistinct(id_col).alias("_nd"))
+        .where(F.col("_nd") >= min_docs)
+        .select("_k")
+    )
+    kept = lines.join(F.broadcast(common), key == F.col("_k"), "left_anti")
+    return kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("idx", "line"))),
+                lambda x: x["line"],
+            ),
+            "\n",
+        ).alias(text_col)
+    )
+
+
+def strip_common_lines_sql(
+    src_sql: str,
+    min_docs: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """DuckDB replay of :func:`strip_common_lines`."""
+    if min_docs < 2:
+        raise ValueError("min_docs must be >= 2")
+    return f"""WITH sgs_scl_base AS (
+  SELECT {id_col}, string_split({text_col}, chr(10)) AS ls
+  FROM ({src_sql}) WHERE {text_col} IS NOT NULL
+),
+sgs_scl_lines AS (
+  SELECT {id_col}, cast(u.i AS int) AS idx, ls[cast(u.i AS int) + 1] AS line
+  FROM sgs_scl_base
+  CROSS JOIN LATERAL (SELECT unnest(range(len(ls))) AS i) u
+),
+sgs_scl_common AS (
+  SELECT lower(trim(line)) AS k
+  FROM sgs_scl_lines
+  WHERE length(trim(line)) > 0
+  GROUP BY k HAVING count(DISTINCT {id_col}) >= {int(min_docs)}
+)
+SELECT {id_col}, string_agg(line, chr(10) ORDER BY idx) AS {text_col}
+FROM sgs_scl_lines
+WHERE lower(trim(line)) NOT IN (SELECT k FROM sgs_scl_common)
+GROUP BY {id_col}"""

@@ -2391,3 +2391,41 @@ def test_tool_cooccurrence_matrix(spark, duck):
         ).fetchall()
     )
     assert got == want
+
+
+def test_strip_common_lines_c4_rule(spark, duck):
+    """C4-style corpus line dedup: lines in >= min_docs distinct docs are
+    stripped (case/whitespace-normalized matching), order and unique lines
+    survive, all-boiler docs disappear, empty lines never count as common;
+    DuckDB replays exactly."""
+    from sketches_go_spark.operators.text import (
+        strip_common_lines,
+        strip_common_lines_sql,
+    )
+
+    boiler = "Subscribe NOW"
+    docs = [
+        (1, f"{boiler}\nalpha beta\n\ngamma"),
+        (2, f"unique two\n  subscribe now \nend two"),
+        (3, f"{boiler}\nthree only"),
+        (4, "all alone"),
+        (5, boiler),  # all-boiler doc: disappears entirely
+    ]
+    pdf = pd.DataFrame(docs, columns=["doc_id", "text"])
+    df = spark.createDataFrame(pdf)
+    out = {r["doc_id"]: r["text"] for r in strip_common_lines(df, 3).collect()}
+    assert out == {
+        1: "alpha beta\n\ngamma",
+        2: "unique two\nend two",
+        3: "three only",
+        4: "all alone",
+    }
+    duck.register("sgs_scl_pdf", pdf)
+    want = dict(
+        duck.execute(
+            strip_common_lines_sql("SELECT * FROM sgs_scl_pdf", 3)
+        ).fetchall()
+    )
+    assert out == want
+    with pytest.raises(ValueError):
+        strip_common_lines(df, 1)
