@@ -140,6 +140,45 @@ def q_ddsketch_latency_by_tool(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("tool", "q")
 
 
+_REPLY_LATENCY_MEASURE_SQL = f"""SELECT strftime(ts, '%Y-%m-%d') AS day,
+       cast(gap AS double) / 1000000.0 AS v
+FROM (
+  SELECT ts, role,
+         lag(role) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS prev_role,
+         epoch_us(ts) - lag(epoch_us(ts))
+           OVER (PARTITION BY conv_id ORDER BY turn_idx) AS gap
+  FROM {_TRANSCRIPTS}
+)
+WHERE prev_role = 'user' AND role = 'assistant' AND gap > 0"""
+
+
+def q_ddsketch_reply_latency_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The UX metric: daily p50/p95/p99 of user->assistant REPLY latency
+    (seconds — µs/1e6 double division, IEEE-equal cross-engine and small
+    enough that the 6-decimal estimate rounding absorbs ulps) — lag pairs on
+    the shared conv_id window, filtered to the user->assistant adjacency,
+    sketched per day.  One conv_id exchange for the lag, then only
+    (day, sign, bucket) bin rows move."""
+    t = transcripts_from_events(spark, sf_dir)
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    tsu = F.unix_micros(F.col("ts").cast("timestamp"))
+    gaps = t.select(
+        F.date_format("ts", "yyyy-MM-dd").alias("day"),
+        F.col("role"),
+        F.lag("role").over(w).alias("_prev_role"),
+        ((tsu - F.lag(tsu).over(w)).cast("double") / F.lit(1000000.0)).alias(
+            "v"
+        ),
+    ).where(
+        (F.col("_prev_role") == "user")
+        & (F.col("role") == "assistant")
+        & (F.col("v") > 0)
+    )
+    return dd.quantiles_from_bins(
+        dd.build_bins(gaps, "v", ["day"], CFG), ["day"], QS, CFG
+    ).orderBy("day", "q")
+
+
 _CONV_DURATION_MEASURE_SQL = (
     "SELECT arg_min(role, turn_idx) AS first_role, "
     "cast(max(epoch_us(ts)) - min(epoch_us(ts)) AS double) / 1000000.0 AS v "
@@ -2689,6 +2728,7 @@ _ROUND5_WINDOW = [
     "transcript_truncate_budget",
     "transcript_common_turns",
     "ddsketch_conv_duration_by_first_role",
+    "ddsketch_reply_latency_daily",
     "streaming_conv_features",
     "transcript_collapse_retries",
     "transcript_tool_affinity",
@@ -2720,13 +2760,13 @@ _ROUND5_WINDOW = [
     "ddsketch_bins_histogram",
     # --- last verified round 3
     "ddsketch_latency_by_tool",
-    "ddsketch_udaf_textlen_by_role",
 ]
 # rotated out to keep the window at 50 (all r3/r4-verified, unchanged):
 # ddsketch_proto_roundtrip, ddsketch_udaf_bins_strategy,
 # ddsketch_daily_quantiles, ddsketch_cube_range_quantiles,
 # ddsketch_psi_value_drift, ddsketch_summary_by_role,
-# sql_api_textlen_by_role — r6 re-verification candidates
+# sql_api_textlen_by_role, ddsketch_udaf_textlen_by_role
+# — r6 re-verification candidates
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -2757,6 +2797,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transcript_truncate_budget": q_transcript_truncate_budget,
         "transcript_common_turns": q_transcript_common_turns,
         "ddsketch_conv_duration_by_first_role": q_ddsketch_conv_duration_by_first_role,
+        "ddsketch_reply_latency_daily": q_ddsketch_reply_latency_daily,
         "streaming_conv_features": q_streaming_conv_features,
         "transcript_collapse_retries": q_transcript_collapse_retries,
         "transcript_training_set": q_transcript_training_set,
@@ -2961,6 +3002,10 @@ def oracle_sql() -> dict[str, str]:
         "ddsketch_conv_duration_by_first_role": oracles.ddsketch_quantiles_sql(
             _CONV_DURATION_MEASURE_SQL, ["first_role"], QS, CFG,
             order_by="first_role, q",
+        ),
+        "ddsketch_reply_latency_daily": oracles.ddsketch_quantiles_sql(
+            _REPLY_LATENCY_MEASURE_SQL, ["day"], QS, CFG,
+            order_by="day, q",
         ),
         # batch replay of the streaming monoid features (availableNow == batch)
         "streaming_conv_features": """WITH sgcf_t AS (
