@@ -377,6 +377,18 @@ def main() -> None:
         "streaming_conv_features",
         "transcript_collapse_retries",
         "transcript_training_set",
+        # round-5 late additions: SFT last mile, dialogue-structure screens,
+        # mixture sampling both ways, C4 line dedup, sketch-driven range
+        # partitioning, the reply-latency UX metric
+        "transcript_sft_examples",
+        "transcript_role_transitions",
+        "transcript_tool_affinity",
+        "pack_conversations",
+        "sample_temperature_by_lang",
+        "sample_resample_by_lang",
+        "text_strip_common_lines",
+        "sketch_range_bucket_counts",
+        "ddsketch_reply_latency_daily",
     ):
         best, steal = timed(lambda: qfns[name](spark, SF_DIR), 2)
         pipeline_timings[name] = round(best, 3)
@@ -461,13 +473,19 @@ def main() -> None:
     if hot_steal:
         compact["steal_gt_gate_pct"] = hot_steal
     line = json.dumps(compact, separators=(",", ":"))
-    if len(line) > 1950:
-        # drop per-query detail before the headline ever truncates
+    for top_n in (40, 20):
+        if len(line) <= 1950:
+            break
+        # drop the cheapest stages before the headline ever truncates
         compact["queries"] = {
             k: round(v, 2)
-            for k, v in sorted(all_queries.items(), key=lambda kv: -kv[1])[:20]
+            for k, v in sorted(
+                all_queries.items(), key=lambda kv: -kv[1]
+            )[:top_n]
         }
-        compact["queries_note"] = "top-20 by time; full set in BENCH_local_full.json"
+        compact["queries_note"] = (
+            f"top-{top_n} by time; full set in BENCH_local_full.json"
+        )
         line = json.dumps(compact, separators=(",", ":"))
     if len(line) > 1950:
         # last-resort: headline + scaling only (full set is in the repo file)
