@@ -243,6 +243,20 @@ def q_ddsketch_cdf_by_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bins.groupBy("event_type").agg(*aggs).orderBy("event_type")
 
 
+def q_ddsketch_quantile_rank_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-row quantile NORMALIZATION from the sketch: every event gains its
+    estimated within-group CDF position (fraction of the event_type's mass
+    at-or-below its value) — the ML feature-preprocessing step, done with
+    ONE bins aggregation + a broadcast join back onto the rows; the data
+    rows never shuffle (functions/ddsketch_fns.py::with_quantile_rank)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "event_type", F.col("value").cast("double").alias("v")
+    )
+    return dd.with_quantile_rank(ev, "v", ["event_type"], CFG).orderBy(
+        "event_id"
+    )
+
+
 def q_ddsketch_summary_by_role(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count / approx sum / approx min / approx max per role from bins."""
     bins = dd.build_bins(_text_len_by_role(spark, sf_dir), "v", ["role"], CFG)
@@ -2729,6 +2743,7 @@ _ROUND5_WINDOW = [
     "transcript_common_turns",
     "ddsketch_conv_duration_by_first_role",
     "ddsketch_reply_latency_daily",
+    "ddsketch_quantile_rank_events",
     "streaming_conv_features",
     "transcript_collapse_retries",
     "transcript_tool_affinity",
@@ -2745,7 +2760,6 @@ _ROUND5_WINDOW = [
     "streaming_dedup_exact",
     "source_csv_textlen_by_role",
     "sample_rebalance_by_lang",
-    "kmeans_assign_embeddings",
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
     "text_winnow_containment",
@@ -2765,7 +2779,8 @@ _ROUND5_WINDOW = [
 # ddsketch_proto_roundtrip, ddsketch_udaf_bins_strategy,
 # ddsketch_daily_quantiles, ddsketch_cube_range_quantiles,
 # ddsketch_psi_value_drift, ddsketch_summary_by_role,
-# sql_api_textlen_by_role, ddsketch_udaf_textlen_by_role
+# sql_api_textlen_by_role, ddsketch_udaf_textlen_by_role,
+# kmeans_assign_embeddings (r4-verified, untouched in r5)
 # — r6 re-verification candidates
 
 
@@ -2798,6 +2813,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transcript_common_turns": q_transcript_common_turns,
         "ddsketch_conv_duration_by_first_role": q_ddsketch_conv_duration_by_first_role,
         "ddsketch_reply_latency_daily": q_ddsketch_reply_latency_daily,
+        "ddsketch_quantile_rank_events": q_ddsketch_quantile_rank_events,
         "streaming_conv_features": q_streaming_conv_features,
         "transcript_collapse_retries": q_transcript_collapse_retries,
         "transcript_training_set": q_transcript_training_set,
@@ -3007,6 +3023,14 @@ def oracle_sql() -> dict[str, str]:
             _REPLY_LATENCY_MEASURE_SQL, ["day"], QS, CFG,
             order_by="day, q",
         ),
+        "ddsketch_quantile_rank_events": oracles.ddsketch_quantile_rank_sql(
+            "SELECT event_id, event_type, cast(value AS double) AS v "
+            "FROM events",
+            ["event_type"],
+            ["event_id"],
+            CFG,
+        )
+        + " ORDER BY event_id",
         # batch replay of the streaming monoid features (availableNow == batch)
         "streaming_conv_features": """WITH sgcf_t AS (
   SELECT concat('conv-', lpad(cast(user_id AS string), 8, '0')) AS conv_id,

@@ -1026,3 +1026,68 @@ def sketch_to_bins(
             yield out
 
     return sketches.mapInPandas(explode_bins, schema=out_schema)
+
+
+def with_quantile_rank(
+    df: DataFrame,
+    value_col: str | Column,
+    keys: Sequence[str],
+    config: DDSketchConfig | None = None,
+    out_col: str = "qrank",
+) -> DataFrame:
+    """Per-row quantile-rank (CDF) transform — quantile NORMALIZATION at
+    100 TB without a global sort: every row gains ``out_col`` = estimated
+    fraction of its group's mass at-or-below its own value (the complement
+    view of GetValueAtQuantile; ddsketch.go:436-469's rank walk applied
+    row-wise).  The standard ML feature-preprocessing step (map a skewed
+    column to ~uniform [0,1]) and the screen for "where does this row sit".
+
+    Scale shape: ONE bins aggregation (map-side combined), a value-order
+    cumulative sum over the TINY bins relation (ORDER BY sign, sign*bucket —
+    the same walk as the KS drift query), then the cumulative relation is
+    BROADCAST back and joined on (keys, sign, bucket), which every row
+    computes from the same Catalyst mapping twin that built the bins.  No
+    shuffle of the data rows at all.  Rows the sketch would reject
+    (NaN/NULL/out-of-range) are dropped, mirroring build_bins.
+
+    Exactness: counts are exact integer-valued doubles, the cumulative walk
+    is identically ordered on every engine, and the single division is
+    correctly rounded — rounded to 6 decimals, the DuckDB oracle reproduces
+    the column bit-for-bit."""
+    config = config or DDSketchConfig()
+    if config.max_bins > 0:
+        raise ValueError(
+            "with_quantile_rank requires a non-collapsing config: rows are "
+            "tagged with their UNclamped bucket and would miss collapsed bins"
+        )
+    m = config.mapping()
+    reserved = {"_sg", "_bk", out_col} & set(df.columns)
+    if reserved:
+        raise ValueError(
+            "df must not carry columns named "
+            + ", ".join(sorted(reserved))
+            + " (reserved for with_quantile_rank)"
+        )
+    bins = build_bins(df, value_col, keys, config)
+    worder = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col("sign"), F.col("sign") * F.col("bucket"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wall = Window.partitionBy(*keys)
+    cum = bins.select(
+        *keys,
+        F.col("sign").alias("_sg"),
+        F.col("bucket").alias("_bk"),
+        F.round(
+            F.sum("count").over(worder) / F.sum("count").over(wall), 6
+        ).alias(out_col),
+    )
+    value = F.col(value_col) if isinstance(value_col, str) else value_col
+    sign, bucket = sign_bucket(value, m)
+    tagged = df.withColumn("_sg", sign).withColumn("_bk", bucket).where(
+        F.col("_sg").isNotNull()
+    )
+    return tagged.join(
+        F.broadcast(cum), [*keys, "_sg", "_bk"]
+    ).drop("_sg", "_bk")

@@ -581,3 +581,43 @@ FROM sgs_agg
 JOIN sgs_est ea ON ea.g = ka
 JOIN sgs_est eb ON eb.g = kb
 ORDER BY key_a, key_b"""
+
+
+def ddsketch_quantile_rank_sql(
+    measure_sql: str,
+    keys: Sequence[str],
+    passthrough: Sequence[str],
+    config: DDSketchConfig | None = None,
+    out_col: str = "qrank",
+) -> str:
+    """Oracle for functions.ddsketch_fns.with_quantile_rank: the measure
+    relation must yield columns ``passthrough... keys... v``; every surviving
+    row comes back with its group's cumulative-mass estimate at its own
+    (sign, bucket), rounded to 6 decimals."""
+    config = config or DDSketchConfig()
+    m = config.mapping()
+    k = _keys_csv(keys)
+    p = ", ".join(passthrough)
+    min_i, max_i = _lit(m.min_indexable), _lit(m.max_indexable)
+    bins_cte = ddsketch_bins_sql(measure_sql, keys, config)
+    return f"""WITH {bins_cte},
+sgs_qr_cdf AS (
+  SELECT {k}, sign AS _sg, bucket AS _bk,
+         round(
+           sum(count) OVER (PARTITION BY {k}
+                            ORDER BY sign, sign * bucket
+                            ROWS UNBOUNDED PRECEDING)
+           / sum(count) OVER (PARTITION BY {k}), 6) AS {out_col}
+  FROM sgs_bins
+),
+sgs_qr_rows AS (
+  SELECT {p}, {k}, v,
+         CASE WHEN v > {min_i} THEN 1 WHEN v < -{min_i} THEN -1 ELSE 0 END AS _sg,
+         CASE WHEN v > {min_i} THEN {bucket_index_sql(m, "v")}
+              WHEN v < -{min_i} THEN {bucket_index_sql(m, "(-v)")}
+              ELSE 0 END AS _bk
+  FROM sgs_measures
+  WHERE v IS NOT NULL AND NOT isnan(v) AND v <= {max_i} AND v >= -{max_i}
+)
+SELECT {p}, {k}, v, {out_col}
+FROM sgs_qr_rows JOIN sgs_qr_cdf USING ({k}, _sg, _bk)"""

@@ -178,3 +178,48 @@ def test_null_group_key_merges_to_one_row(spark):
         sdf.withColumn("item", F.col("v").cast("string")), "item", ["g"], p=6
     ).toPandas()
     assert len(hll) == 3
+
+
+def test_with_quantile_rank_transform(spark):
+    """Per-row quantile normalization: max of a group ranks 1.0, ranks are
+    monotone in value within a group, the rank of the p-th percentile value
+    is ~p (alpha-accurate), the broadcast plan never shuffles the data rows
+    through a SortMergeJoin, and collapsing configs are rejected."""
+    import numpy as np
+    import pandas as pd
+    import pytest
+    from pyspark.sql import functions as F
+
+    from sketches_go_spark.core.ddsketch import DDSketchConfig
+    from sketches_go_spark.functions import ddsketch_fns as dd
+
+    rng = np.random.default_rng(11)
+    pdf = pd.DataFrame(
+        {
+            "id": np.arange(20_000),
+            "g": np.where(np.arange(20_000) % 2 == 0, "a", "b"),
+            "v": rng.lognormal(1.0, 1.5, 20_000),
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    cfg = DDSketchConfig(alpha=0.01)
+    out = dd.with_quantile_rank(df, "v", ["g"], cfg)
+    got = out.toPandas()
+    assert len(got) == len(pdf)
+    for g, grp in got.groupby("g"):
+        s = grp.sort_values("v")
+        assert s["qrank"].is_monotonic_increasing
+        assert s["qrank"].iloc[-1] == 1.0
+        assert s["qrank"].iloc[0] > 0.0
+        # empirical rank vs sketch rank: within alpha-ish tolerance
+        emp = np.arange(1, len(s) + 1) / len(s)
+        assert np.abs(s["qrank"].to_numpy() - emp).max() < 0.05
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    with pytest.raises(ValueError):
+        dd.with_quantile_rank(
+            df, "v", ["g"], DDSketchConfig(alpha=0.01, max_bins=64)
+        )
+    with pytest.raises(ValueError):
+        dd.with_quantile_rank(df.withColumn("qrank", F.lit(0)), "v", ["g"], cfg)
