@@ -389,6 +389,7 @@ def main() -> None:
         "text_strip_common_lines",
         "sketch_range_bucket_counts",
         "ddsketch_reply_latency_daily",
+        "ddsketch_quantile_rank_events",
     ):
         best, steal = timed(lambda: qfns[name](spark, SF_DIR), 2)
         pipeline_timings[name] = round(best, 3)
