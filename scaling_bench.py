@@ -113,6 +113,13 @@ def job():
         # aggregating sft_chars forces the render (a bare count() would let
         # Catalyst prune the rendered column away)
         return out.agg(F.sum("sft_chars"), F.sum("n_turns")).collect()
+    if job_kind == "qrank":
+        # per-row quantile normalization: one tiny bins aggregation, a
+        # value-order cumsum over it, then a BROADCAST join back — the data
+        # rows never shuffle, so scaling should track the scan itself
+        out = dd.with_quantile_rank(
+            t.select("role", measure.alias("v")), "v", ["role"], cfg)
+        return out.agg(F.sum("qrank")).collect()
     src = t.select("role", "tool", measure.alias("v"))
     if job_kind == "udaf":
         # CPU-bound per byte: Arrow transfer + vectorized numpy partial build
@@ -297,7 +304,8 @@ def main() -> None:
     ap.add_argument("--reps", type=int, default=5)
     ap.add_argument("--job",
                     choices=["relational", "udaf", "udaf_bins", "skew",
-                             "temporal", "components", "minhash", "assemble"],
+                             "temporal", "components", "minhash", "assemble",
+                             "qrank"],
                     default="relational",
                     help="relational: parquet-scan-bound (bandwidth-limited on "
                          "ONE box); udaf: CPU-bound python path (isolates core "
@@ -394,6 +402,11 @@ def main() -> None:
             "transcript assembly (turns -> rendered role-tagged SFT examples "
             "+ loader features; conv_id shuffle + in-group array_sort + "
             "render, ~120 chars/turn synthesized from the key)"
+        )
+    elif args.job == "qrank":
+        job_label = (
+            "per-row quantile normalization (bins agg + broadcast CDF join "
+            "back onto the rows — data rows never shuffle)"
         )
     else:
         job_label = f"ddsketch {args.job} p50/p95/p99 by (role, tool), synthetic numeric transcripts"

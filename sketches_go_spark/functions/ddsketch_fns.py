@@ -1085,9 +1085,13 @@ def with_quantile_rank(
     )
     value = F.col(value_col) if isinstance(value_col, str) else value_col
     sign, bucket = sign_bucket(value, m)
-    tagged = df.withColumn("_sg", sign).withColumn("_bk", bucket).where(
-        F.col("_sg").isNotNull()
-    )
+    # no explicit isNotNull filter: the INNER join drops NULL-tagged
+    # (rejected) rows itself, and an explicit .where would be pushed down
+    # with the full sign/bucket CASE chain re-substituted into the Filter —
+    # Catalyst does not CSE across Filter/Project, so the heavy mapping
+    # expression would evaluate several times per row (measured ~2x the
+    # row-side stage cost at 100M rows)
+    tagged = df.withColumn("_sg", sign).withColumn("_bk", bucket)
     return tagged.join(
         F.broadcast(cum), [*keys, "_sg", "_bk"]
     ).drop("_sg", "_bk")
