@@ -2048,7 +2048,11 @@ def q_dedup_conversations_minhash(spark: SparkSession, sf_dir: str) -> DataFrame
     docs = conv.select(
         F.col("conv_id").alias("doc_id"), F.col("sft_text").alias("text")
     )
-    return dedup.minhash_lsh_pairs(docs, threshold=0.5).orderBy("id_a", "id_b")
+    # materialize the shingle relation: the plant+assemble chain upstream is
+    # the expensive part and would otherwise run once per consuming branch
+    return dedup.minhash_lsh_pairs(
+        docs, threshold=0.5, materialize_shingles=True
+    ).orderBy("id_a", "id_b")
 
 
 def q_transcript_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2115,9 +2119,10 @@ def q_transcript_training_set(spark: SparkSession, sf_dir: str) -> DataFrame:
     lexicographically-larger member of every MinHash-verified near-dup pair
     (pairwise canonicalization — the components closure is the heavier
     dedup_canonical_docs path).  Every stage shuffles on conv_id except the
-    LSH banding; at production scale the assembled relation would be
-    persisted before the near-dup self-join rather than recomputed on both
-    sides of the anti-join."""
+    LSH banding; the assembled relation is localCheckpoint-ed before the
+    near-dup self-join so the plant→collapse→validate→truncate→assemble
+    chain runs ONCE, not once per side of the anti-join (recomputed from
+    parquet on every fresh invocation — no cross-run reuse)."""
     t = transcripts_from_events(spark, sf_dir)
     planted = ops_assemble.plant_neardup_conversations(t, every=5)
     c = ops_assemble.collapse_retries(planted)
@@ -2130,12 +2135,14 @@ def q_transcript_training_set(spark: SparkSession, sf_dir: str) -> DataFrame:
     trunc = ops_assemble.truncate_conversations(kept, token_budget=64).drop(
         "n_tokens", "tokens_before"
     )
-    conv = ops_assemble.assemble_conversations(trunc)
+    conv = ops_assemble.assemble_conversations(trunc).localCheckpoint(
+        eager=True
+    )
     docs = conv.select(
         F.col("conv_id").alias("doc_id"), F.col("sft_text").alias("text")
     )
     drop = (
-        dedup.minhash_lsh_pairs(docs, threshold=0.5)
+        dedup.minhash_lsh_pairs(docs, threshold=0.5, materialize_shingles=True)
         .select(F.col("id_b").alias("conv_id"))
         .distinct()
     )

@@ -256,19 +256,33 @@ def minhash_lsh_pairs(
     threshold: float = 0.5,
     sim_decimals: int = 6,
     hash_fn=None,
+    materialize_shingles: bool = False,
 ) -> DataFrame:
     """MinHash-LSH candidate generation + exact-Jaccard verification.
 
     Bands of ``band_size`` rows hash to buckets; documents sharing any
     (band, bucket) are candidates — collision probability ≈ 1-(1-s^r)^b for
     similarity s.  Candidates are then verified with the exact n-gram
-    Jaccard, so the output has no false positives."""
+    Jaccard, so the output has no false positives.
+
+    ``materialize_shingles``: localCheckpoint the shingle relation so the
+    three consuming branches (signature agg + both verification sides)
+    share ONE computation of everything upstream.  Off by default — for a
+    plain table scan the recompute is cheaper than the barrier (measured
+    ±0.5 s at sf0.1) — but a clear win when ``df`` is an expensive derived
+    relation (e.g. an assembled-conversation chain)."""
     assert num_perm % band_size == 0
     hash_fn = hash_fn or portable_hash64
     # ONE aggregation pass produces the k signature minima AND the per-doc
     # shingle count (sz) — a separate sizes pass would recompute the whole
-    # shingle relation (the expensive stage) a second time
+    # shingle relation (the expensive stage) a second time.  The relation
+    # still feeds three branches (signature agg + both sides of the exact
+    # verification join); recomputing the tokenize+explode per branch is
+    # CHEAPER than a localCheckpoint barrier (measured +0.5 s at sf0.1) —
+    # but only when ``df`` itself is cheap; see materialize_shingles above.
     sh = shingle_rel(df, id_col, text_col, n)
+    if materialize_shingles:
+        sh = sh.localCheckpoint(eager=True)
     mins = [
         F.min(hash_fn(F.col("shingle"), minhash_salt(j))).alias(f"sig_{j}")
         for j in range(num_perm)
@@ -433,6 +447,10 @@ def pigeonhole_hamming_pairs(
     (id, sig_col, _blk): pigeonhole blocking on ``max_hamming + 1`` contiguous
     segments, exact bit_count verification on candidates only.  Shared by
     simhash_pairs and usable for any precomputed fingerprint column."""
+    # the fingerprint relation is consumed by BOTH sides of the candidate
+    # self-join; without a materialization the upstream build (the 60-vote
+    # simhash aggregation when called from simhash_pairs) runs twice
+    sig = sig.localCheckpoint(eager=True)
     keyed = _segment_keyed(sig, id_col, sig_col, bits, max_hamming + 1)
     a = keyed.select(
         F.col(id_col).alias("id_a"), F.col(sig_col).alias("sh_a"),
@@ -490,9 +508,12 @@ def simhash_delta_pairs(
     base = stored_sig.select(
         _col(id_col).alias(id_col), _col(sig_col).alias(sig_col)
     ).withColumn("_blk", F.lit(0))
+    # the shard fingerprints feed both the probe side and (unioned with the
+    # base) the build side — materialize the shard build once instead of
+    # running the simhash aggregation twice
     shard = shard_sig.select(
         _col(id_col).alias(id_col), _col(sig_col).alias(sig_col)
-    ).withColumn("_blk", F.lit(0))
+    ).withColumn("_blk", F.lit(0)).localCheckpoint(eager=True)
     nseg = max_hamming + 1
     probe = _segment_keyed(shard, id_col, sig_col, bits, nseg).select(
         F.col(id_col).alias("id_a"),

@@ -367,7 +367,14 @@ def winnow_containment_pairs(
     the hot tail; the join formulation below is the fastest of the three
     measured and the one that streams (never materializes a posting's
     C(df,2) pairs in one buffer)."""
-    fps = winnow_fingerprints(df, id_col, text_col, k=k, w=w)
+    # the fingerprint relation feeds THREE branches (sizes, docfreq, the
+    # self-join) and the winnow build is the expensive md5 pass over every
+    # k-gram — localCheckpoint materializes it once instead of recomputing
+    # it per branch (lineage-cut, recomputed from parquet on every fresh
+    # invocation, so no cross-run result reuse)
+    fps = winnow_fingerprints(df, id_col, text_col, k=k, w=w).localCheckpoint(
+        eager=True
+    )
     sizes = fps.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     freq = (
         fps.groupBy("fp")

@@ -31,6 +31,20 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # AQE's parallelism-first coalescing targets max(bytes/parallelism,
+        # minPartitionSize); the 1m default assumes work ∝ shuffle bytes,
+        # which the hash-heavy blocking self-joins here violate badly — a
+        # ~2 MB fingerprint shuffle fans out into a 16M-row candidate
+        # explode, and the default coalesced it to ONE task (measured:
+        # winnow containment 14-17 s with a serialized 63 MB single-task
+        # join stage, stable ~5 s at 256k; 64k over-splits the many tiny
+        # exchanges of the LSH queries and costs ~1.5 s back).  Only
+        # byte-light exchanges are affected; large shuffles still coalesce
+        # toward the advisory target, so cluster behaviour is unchanged.
+        .config(
+            "spark.sql.adaptive.coalescePartitions.minPartitionSize",
+            os.environ.get("SGS_AQE_MIN_PARTITION_SIZE", "256k"),
+        )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
