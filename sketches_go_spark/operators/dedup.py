@@ -735,28 +735,38 @@ def connected_components(
             e = _commit_round(e, 0, time.time() - t0, False)
             start_round = 1
 
+    from pyspark.sql.window import Window
+
+    _wu = Window.partitionBy("u")
+
     def _large_star(df: DataFrame) -> DataFrame:
-        # symmetric neighborhood; m = min(Γ(u) ∪ {u}); emit (v, m) for v > u
+        # symmetric neighborhood; m = min(Γ(u) ∪ {u}); emit (v, m) for v > u.
+        # m is a whole-partition window-min over the SAME key the groupBy
+        # formulation shuffled on — one exchange, no join, no broadcast
+        # build (the join shape cost 2 extra driver-roundtrip jobs per
+        # round).  The output may carry duplicates; the small-star step that
+        # always follows ends in distinct and its window-min is
+        # duplicate-insensitive, so the round relation is unchanged.
         sym = df.union(df.select(F.col("v").alias("u"), F.col("u").alias("v")))
-        m = F.least(F.min("v"), F.min("u")).alias("m")  # u == group key
-        mins = sym.groupBy("u").agg(m)
+        m = F.least(F.min("v").over(_wu), F.col("u"))
         return (
-            sym.join(mins, "u")
+            sym.withColumn("m", m)
             .where(F.col("v") > F.col("u"))
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
-            .distinct()
         )
 
     def _small_star(df: DataFrame) -> DataFrame:
-        # orient (max, min); m = min neighbor; relink N(u) ∪ {u} to m
+        # orient (max, min); m = min neighbor; relink N(u) ∪ {u} to m.
+        # Same window-min-over-u shape as _large_star; the center edge
+        # (u, m) replaces the explicit centers-union — it IS row (u, v=m)
+        # relinked to itself, so emitting (v, m) for every row plus (u, m)
+        # once per group covers relinked ∪ centers exactly.
         ori = df.select(
             F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
         )
-        mins = ori.groupBy("u").agg(F.min("v").alias("m"))
-        relinked = ori.join(mins, "u").select(
-            F.col("v").alias("u"), F.col("m").alias("v")
-        )
-        centers = mins.select(F.col("u"), F.col("m").alias("v"))
+        withm = ori.withColumn("m", F.min("v").over(_wu))
+        relinked = withm.select(F.col("v").alias("u"), F.col("m").alias("v"))
+        centers = withm.select("u", F.col("m").alias("v"))
         return (
             relinked.union(centers)
             .where(F.col("u") != F.col("v"))

@@ -46,6 +46,22 @@ def get_spark(
             os.environ.get("SGS_AQE_MIN_PARTITION_SIZE", "256k"),
         )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # InferFiltersFromGenerate adds `size(arr) > 0` under every explode;
+        # predicate pushdown then re-substitutes the array-building
+        # expression into a scan-level filter, duplicating the whole
+        # higher-order-function tree (and re-inlining split() at every
+        # element_at site — the O(words²) shape word_shingles exists to
+        # avoid).  Every HOF+explode operator here (shingles, winnow
+        # fingerprints, simhash tokens, pigeonhole segments) pays the array
+        # build TWICE for a filter that explode's own empty-array semantics
+        # already imply (measured: shingle relation 5.1 s -> 1.1 s at
+        # sf0.1).  The rule only helps when the inferred filter prunes at
+        # the source CHEAPLY, which a generator fed by a derived array
+        # never is.
+        .config(
+            "spark.sql.optimizer.excludedRules",
+            "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
+        )
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
