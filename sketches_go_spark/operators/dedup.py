@@ -619,9 +619,16 @@ def connected_components(
     on a cluster use ``spark.sparkContext.setCheckpointDir`` + reliable
     checkpoints for fault tolerance — same seam as plans/checkpoint.py).
 
-    Convergence is detected EXACTLY: the round's edge set equals the previous
-    round's (same count + empty anti-join — two tiny jobs per round on a
-    (bigint, bigint) relation, no probabilistic checksum).
+    Convergence is detected EXACTLY and on the round's OWN output: the
+    relation is the converged min-star iff every source node has exactly one
+    outgoing edge and no source ever appears as a target (small-star output
+    always points strictly downward, so such a relation is a fixed point of
+    both stars — each root's window-min is itself and members emit nothing
+    new; conversely the converged min-star trivially satisfies both
+    properties).  One tiny degree-aggregation job per round on the
+    (bigint, bigint) relation — no probabilistic checksum, and no extra
+    re-verification round recomputing an identical relation just to compare
+    it with its predecessor.
 
     ``checkpoint_dir`` makes the ITERATION durable (the north-rule resume
     contract for an iterative job): each round's edge relation is written as
@@ -796,7 +803,28 @@ def connected_components(
         if checkpoint_dir is not None
         else e  # checkpointed input edges: node universe, no upstream recompute
     )
-    prev_count = e.count()
+
+    def _is_min_star(df: DataFrame) -> bool:
+        # fixed-point test on the relation itself (see docstring): every u
+        # has out-degree exactly 1 and {u} ∩ {v} = ∅ — one aggregation job
+        deg = df.select(
+            F.col("u").alias("n"), F.lit(1).alias("su"), F.lit(0).alias("sv")
+        ).union(
+            df.select(
+                F.col("v").alias("n"), F.lit(0).alias("su"), F.lit(1).alias("sv")
+            )
+        )
+        row = (
+            deg.groupBy("n")
+            .agg(F.sum("su").alias("su"), F.sum("sv").alias("sv"))
+            .agg(
+                F.max(F.col("su") * F.col("sv")).alias("mix"),
+                F.max("su").alias("maxu"),
+            )
+            .first()
+        )
+        return (row["mix"] or 0) == 0 and (row["maxu"] or 0) <= 1
+
     converged = False
     for i in range(max(start_round, 1), max_iters + 1):
         t0 = time.time()
@@ -807,20 +835,17 @@ def connected_components(
             nxt = _commit_round(nxt, i, time.time() - t0, False)
         elif checkpoint:
             nxt = nxt.localCheckpoint(eager=True)
-        nxt_count = nxt.count()
-        if nxt_count == prev_count and (
-            nxt.join(e, ["u", "v"], "left_anti").limit(1).count() == 0
-        ):
+        if _is_min_star(nxt):
             e = nxt
             converged = True
             if checkpoint_dir is not None:
                 with open(_manifest_path(), "a") as f:
                     f.write(json.dumps({
-                        "round": i, "edges": nxt_count,
+                        "round": i, "edges": nxt.count(),
                         "wall_sec": 0.0, "converged": True,
                     }) + "\n")
             break
-        e, prev_count = nxt, nxt_count
+        e = nxt
     if not converged:
         # a partially-contracted relation labels nodes at some intermediate
         # hop, NOT the component minimum — that is a wrong answer, not an

@@ -559,7 +559,12 @@ def winnow_contamination(
     relation is tiny (broadcastable), and ``fp_cap`` drops corpus-hot
     boilerplate fingerprints before the join — so the probe costs one scan
     of the corpus fingerprints, never a self-join."""
-    fps_c = winnow_fingerprints(corpus, id_col, text_col, k=k, w=w)
+    # the corpus fingerprint relation feeds two branches (docfreq cap + the
+    # probe join) — materialize it once; the md5 winnow pass is the
+    # expensive stage and would otherwise run per branch
+    fps_c = winnow_fingerprints(corpus, id_col, text_col, k=k, w=w).localCheckpoint(
+        eager=True
+    )
     fps_b = winnow_fingerprints(bench, bench_id_col, bench_text_col, k=k, w=w)
     sz_b = fps_b.groupBy(bench_id_col).agg(F.count(F.lit(1)).alias("_bsz"))
     rare = (
