@@ -1183,6 +1183,30 @@ def q_tdigest_latency_by_role(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _STREAM_COUNTER = [0]
 
+from contextlib import contextmanager
+
+
+@contextmanager
+def _stream_conf(spark: SparkSession):
+    """Size streaming STATE partitions to these availableNow replays: the
+    state-partition count is frozen at stream start, and the session's 64
+    batch shuffle partitions would create 64 state stores whose per-
+    partition commit/provider overhead dominates small streams (measured
+    3.1-7.1 s -> 1.7-2.1 s per stream at sf0.1 with 8-16).  Parameterised:
+    a production deployment sizes this to state-row cardinality via
+    SGS_STREAM_SHUFFLE_PARTITIONS.  Batch conf is restored on exit; the
+    aggregation results are partition-count independent."""
+    import os
+
+    n = os.environ.get("SGS_STREAM_SHUFFLE_PARTITIONS", "16")
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", n)
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+
+
 
 def _src_fingerprint(*paths: str) -> str:
     """Content fingerprint (size + mtime_ns) of the file(s) a staged copy
@@ -1249,14 +1273,15 @@ def q_streaming_ddsketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     bins = streaming_bins(src, "v", ["event_type"], CFG)
     _STREAM_COUNTER[0] += 1
     name = f"sgs_stream_bins_{_STREAM_COUNTER[0]}"
-    q = (
-        bins.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(300)
+    with _stream_conf(spark):
+        q = (
+            bins.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
     return dd.quantiles_from_bins(spark.table(name), ["event_type"], QS, CFG).orderBy(
         "event_type", "q"
     )
@@ -1275,14 +1300,15 @@ def q_streaming_hll_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
     regs = streaming_hll_registers(items, "item", ["event_type"], p=HLL_P)
     _STREAM_COUNTER[0] += 1
     name = f"sgs_stream_hll_{_STREAM_COUNTER[0]}"
-    q = (
-        regs.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(300)
+    with _stream_conf(spark):
+        q = (
+            regs.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
     return spark.table(name).orderBy("event_type", "reg")
 
 
@@ -1301,14 +1327,15 @@ def q_streaming_stateful_ddsketch(spark: SparkSession, sf_dir: str) -> DataFrame
     out = stateful_sketch_stream(src, "v", ["event_type"], CFG, QS)
     _STREAM_COUNTER[0] += 1
     name = f"sgs_stream_stateful_{_STREAM_COUNTER[0]}"
-    q = (
-        out.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("update")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(300)
+    with _stream_conf(spark):
+        q = (
+            out.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
     w = Window.partitionBy("event_type").orderBy(F.col("n").desc())
     return (
         spark.table(name)
@@ -1344,14 +1371,15 @@ def q_streaming_kll_by_event_type(spark: SparkSession, sf_dir: str) -> DataFrame
     )
     _STREAM_COUNTER[0] += 1
     name = f"sgs_stream_kll_{_STREAM_COUNTER[0]}"
-    q = (
-        out.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("update")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(300)
+    with _stream_conf(spark):
+        q = (
+            out.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
     w = Window.partitionBy("event_type").orderBy(F.col("n").desc())
     final = (
         spark.table(name)
@@ -1390,14 +1418,15 @@ def q_streaming_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     _STREAM_COUNTER[0] += 1
     name = f"sgs_stream_sess_{_STREAM_COUNTER[0]}"
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(300)
+    with _stream_conf(spark):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
     out = spark.table(name)
     dur = (
         (F.unix_micros(F.col("sw.end")) - F.unix_micros(F.col("sw.start")))
@@ -1430,14 +1459,15 @@ def q_streaming_hll_sliding_distinct(spark: SparkSession, sf_dir: str) -> DataFr
     regs = streaming_hll_registers(src, "item", ["day", "event_type"], p=HLL_P)
     _STREAM_COUNTER[0] += 1
     name = f"sgs_stream_hll_cube_{_STREAM_COUNTER[0]}"
-    q = (
-        regs.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(300)
+    with _stream_conf(spark):
+        q = (
+            regs.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
     cube = spark.table(name).select(
         F.unix_date(F.to_date(F.col("day"))).alias("day_i"),
         "event_type",
@@ -1515,15 +1545,16 @@ def q_streaming_append_daily_quantiles(spark: SparkSession, sf_dir: str) -> Data
     _STREAM_COUNTER[0] += 1
     name = f"sgs_stream_append_{_STREAM_COUNTER[0]}"
     ckpt = tempfile.mkdtemp(prefix="sgs_append_ckpt_")
-    q = (
-        bins.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .option("checkpointLocation", ckpt)
-        .start()
-    )
-    q.awaitTermination(300)
+    with _stream_conf(spark):
+        q = (
+            bins.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.awaitTermination(300)
     res = spark.table(name).select(
         F.substring(F.col("window.start").cast("string"), 1, 10).alias("day"),
         "event_type",
@@ -1580,14 +1611,15 @@ def q_streaming_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     _STREAM_COUNTER[0] += 1
     name = f"sgs_stream_dedup_{_STREAM_COUNTER[0]}"
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(300)
+    with _stream_conf(spark):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
     return spark.table(name).orderBy("fingerprint")
 
 
@@ -1627,14 +1659,15 @@ def q_streaming_conv_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     _STREAM_COUNTER[0] += 1
     name = f"sgs_stream_convf_{_STREAM_COUNTER[0]}"
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(300)
+    with _stream_conf(spark):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
     return spark.table(name).orderBy("conv_id")
 
 
@@ -1651,14 +1684,15 @@ def q_streaming_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     buckets = streaming_minhash_buckets(stream)
     _STREAM_COUNTER[0] += 1
     name = f"sgs_stream_mh_{_STREAM_COUNTER[0]}"
-    q = (
-        buckets.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(300)
+    with _stream_conf(spark):
+        q = (
+            buckets.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
     return spark.table(name).orderBy("band", "bucket")
 
 
@@ -1675,14 +1709,15 @@ def q_streaming_cms_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
     counters = streaming_cms_counters(items, "item", ["event_type"], depth=4, width=512)
     _STREAM_COUNTER[0] += 1
     name = f"sgs_stream_cms_{_STREAM_COUNTER[0]}"
-    q = (
-        counters.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(300)
+    with _stream_conf(spark):
+        q = (
+            counters.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
     return spark.table(name).orderBy("event_type", "row", "col")
 
 
