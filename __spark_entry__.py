@@ -2160,7 +2160,9 @@ def q_transcript_training_set(spark: SparkSession, sf_dir: str) -> DataFrame:
     parquet on every fresh invocation — no cross-run reuse)."""
     t = transcripts_from_events(spark, sf_dir)
     planted = ops_assemble.plant_neardup_conversations(t, every=5)
-    c = ops_assemble.collapse_retries(planted)
+    # the collapsed relation feeds BOTH the validity screen and the kept
+    # join — materialize once so plant+collapse runs once, not twice
+    c = ops_assemble.collapse_retries(planted).localCheckpoint(eager=True)
     valid_ids = (
         ops_assemble.validate_conversations(c)
         .where(F.col("valid"))

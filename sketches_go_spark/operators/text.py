@@ -756,7 +756,12 @@ def tfidf_top_terms(
     toks = df.select(
         _col(id_col).alias(id_col), F.explode(words).alias("term")
     ).where(F.length("term") > 0)
-    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    # the (doc, term, tf) relation feeds three branches (df aggregation,
+    # corpus-size aggregate, and the scoring join) — materialize it once
+    # instead of re-running tokenize+explode+groupBy per branch
+    tf = toks.groupBy(id_col, "term").agg(
+        F.count(F.lit(1)).alias("tf")
+    ).localCheckpoint(eager=True)
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n_docs = tf.agg(F.countDistinct(id_col).alias("n_docs"))
     scored = (
