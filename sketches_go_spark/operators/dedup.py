@@ -765,17 +765,22 @@ def connected_components(
     def _small_star(df: DataFrame) -> DataFrame:
         # orient (max, min); m = min neighbor; relink N(u) ∪ {u} to m.
         # Same window-min-over-u shape as _large_star; the center edge
-        # (u, m) replaces the explicit centers-union — it IS row (u, v=m)
-        # relinked to itself, so emitting (v, m) for every row plus (u, m)
-        # once per group covers relinked ∪ centers exactly.
+        # (u, m) replaces the explicit centers row — it IS row (u, v=m)
+        # relinked to itself.  Both output rows per input row are emitted
+        # in ONE pass via explode (a union of two selects over the window
+        # relation would run the window sort once per branch over the
+        # reused exchange).
         ori = df.select(
             F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
         )
         withm = ori.withColumn("m", F.min("v").over(_wu))
-        relinked = withm.select(F.col("v").alias("u"), F.col("m").alias("v"))
-        centers = withm.select("u", F.col("m").alias("v"))
+        both = F.array(
+            F.struct(F.col("v").alias("u"), F.col("m").alias("v")),
+            F.struct(F.col("u").alias("u"), F.col("m").alias("v")),
+        )
         return (
-            relinked.union(centers)
+            withm.select(F.explode(both).alias("_e"))
+            .select(F.col("_e.u").alias("u"), F.col("_e.v").alias("v"))
             .where(F.col("u") != F.col("v"))
             .distinct()
         )
