@@ -2429,3 +2429,45 @@ def test_strip_common_lines_c4_rule(spark, duck):
     assert out == want
     with pytest.raises(ValueError):
         strip_common_lines(df, 1)
+
+
+def test_connected_components_stops_at_true_fixpoint(spark):
+    """Round-6 convergence rule: the loop stops when the round's own output
+    is structurally the min-star (out-degree 1 everywhere, sources never
+    targets).  Pin that the accepted output really is a fixed point: one
+    more large-star/small-star application must reproduce the relation
+    EXACTLY, on a graph whose edge count stabilizes rounds before the edge
+    set does (parallel long chains — the case a count-only gate would
+    mis-accept)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    edges = [(c * 100 + i, c * 100 + i + 1) for c in range(6) for i in range(30)]
+    df = spark.createDataFrame(edges, "id_a bigint, id_b bigint")
+    out = dedup.connected_components(df)
+    star = out.where(F.col("node") != F.col("component")).select(
+        F.col("node").alias("u"), F.col("component").alias("v")
+    )
+    wu = Window.partitionBy("u")
+    sym = star.union(star.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    ls = (
+        sym.withColumn("m", F.least(F.min("v").over(wu), F.col("u")))
+        .where(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+    )
+    ori = ls.select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
+    withm = ori.withColumn("m", F.min("v").over(wu))
+    both = F.array(
+        F.struct(F.col("v").alias("u"), F.col("m").alias("v")),
+        F.struct(F.col("u").alias("u"), F.col("m").alias("v")),
+    )
+    nxt = (
+        withm.select(F.explode(both).alias("_e"))
+        .select(F.col("_e.u").alias("u"), F.col("_e.v").alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    assert sorted(map(tuple, nxt.collect())) == sorted(map(tuple, star.collect()))
+    # and the labeling is the exact closure: every chain labels to its min
+    got = {r["node"]: r["component"] for r in out.collect()}
+    assert all(got[c * 100 + i] == c * 100 for c in range(6) for i in range(31))
