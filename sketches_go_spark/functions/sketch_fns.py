@@ -471,6 +471,11 @@ def kmv_pairwise_overlap(
     scans, over KMV sketches they are trivially small."""
     from pyspark.sql.window import Window
 
+    # the sketch relation is consumed by FOUR branches (group list, both
+    # membership sides, per-group estimates); it is at most groups x k rows,
+    # so materialize it once instead of re-running the upstream
+    # distinct+window sketch build per branch
+    sk_df = sk_df.localCheckpoint(eager=True)
     ks = sk_df.select(F.col(key).alias("g"), "hv")
     names = ks.select("g").distinct()
     pairs = (
