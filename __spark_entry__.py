@@ -1128,7 +1128,10 @@ def q_kll_latency_by_role(spark: SparkSession, sf_dir: str) -> DataFrame:
     against the exact data ranks (hash-matchable driver oracle)."""
     from sketches_go_spark.core.kll import KLLSketch
 
-    src = _latency_by_role(spark, sf_dir)
+    # the latency relation feeds BOTH the sketch build and the exact-rank
+    # verification join — materialize the (role, v) rows once instead of
+    # running the transcripts-view windows twice
+    src = _latency_by_role(spark, sf_dir).localCheckpoint(eager=True)
     sketches = sk.kll_agg(src, "v", ["role"], k=200)
     out = sk.with_sketch_quantiles(sketches, KLLSketch.from_bytes, list(QS))
     est_long = out.select(
@@ -1172,7 +1175,9 @@ def q_tdigest_latency_by_role(spark: SparkSession, sf_dir: str) -> DataFrame:
     against the exact data ranks (hash-matchable driver oracle)."""
     from sketches_go_spark.core.tdigest import TDigest
 
-    src = _latency_by_role(spark, sf_dir)
+    # same dual consumption as the KLL twin: one materialization for the
+    # build + the exact-rank verification join
+    src = _latency_by_role(spark, sf_dir).localCheckpoint(eager=True)
     sketches = sk.tdigest_agg(src, "v", ["role"], delta=200.0)
     out = sk.with_sketch_quantiles(sketches, TDigest.from_bytes, list(QS))
     est_long = out.select(
