@@ -1057,7 +1057,7 @@ def with_quantile_rank(
     """Per-row quantile-rank (CDF) transform — quantile NORMALIZATION at
     100 TB without a global sort: every row gains ``out_col`` = estimated
     fraction of its group's mass at-or-below its own value (the complement
-    view of GetValueAtQuantile; ddsketch.go:436-469's rank walk applied
+    view of GetValueAtQuantile; ddsketch.go:166-190's rank walk applied
     row-wise).  The standard ML feature-preprocessing step (map a skewed
     column to ~uniform [0,1]) and the screen for "where does this row sit".
 

@@ -196,6 +196,13 @@ def weighted_sample(
     Scale shape: one projection + one top-k window per group — identical to
     :func:`stratified_topk`; a single giant group serializes into one
     reducer like any global top-k (shard first if k is huge)."""
+    reserved = {"wkey", "rk"} & set(df.columns)
+    if reserved:
+        raise ValueError(
+            "df must not carry columns named "
+            + ", ".join(sorted(reserved))
+            + " (reserved for weighted_sample)"
+        )
     hash_fn = hash_fn or portable_hash64
     w = _col(weight_col).cast("double")
     u = (hash_fn(_col(id_col), salt) + F.lit(1)).cast("double") / F.lit(
@@ -497,9 +504,9 @@ def temperature_resample(
     Upsampled groups are small by definition, so the replication factor is
     bounded by T/n_min in the worst case — cap alpha-flattening (or
     pre-filter microscopic groups) if that bound matters."""
-    reserved = {"_n", "_s", "_ts", "_tn", "_base", "_fthr", "copy_idx"} & set(
-        df.columns
-    )
+    reserved = {
+        "_n", "_s", "_ts", "_tn", "_base", "_fthr", "_copies", "copy_idx"
+    } & set(df.columns)
     if reserved:
         raise ValueError(
             "df must not carry columns named "

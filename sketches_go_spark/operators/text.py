@@ -863,9 +863,10 @@ def plant_common_lines_sql(
     )
 
     pick = portable_hash64_sql_duckdb(id_col, salt)
+    boiler_lit = boiler.replace("'", "''")
     return f"""SELECT * REPLACE (
   CASE WHEN {pick} % {int(every)} = 0
-       THEN concat('{boiler}', chr(10), {text_col})
+       THEN concat('{boiler_lit}', chr(10), {text_col})
        ELSE {text_col} END AS {text_col}
 ) FROM ({src_sql})"""
 

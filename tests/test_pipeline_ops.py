@@ -1670,6 +1670,14 @@ def test_weighted_sample_exact_replay_and_bias(spark):
         ]
         assert spark_top == replay(s, 1)
 
+    # reserved-column guard: wkey/rk inputs would be silently overwritten
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        sampling.weighted_sample(df.withColumn("wkey", F.lit(0.0)), "w", k=1)
+    with _pytest.raises(ValueError):
+        sampling.weighted_sample(df.withColumn("rk", F.lit(1)), "w", k=1)
+
 
 def test_assemble_conversations_cap_and_render(spark):
     from sketches_go_spark.operators import assemble
@@ -2352,6 +2360,8 @@ def test_temperature_resample_upsamples_and_replays(spark, duck):
     )
     with pytest.raises(ValueError):
         temperature_resample(df.withColumn("copy_idx", F.lit(0)), ["lang"])
+    with pytest.raises(ValueError):
+        temperature_resample(df.withColumn("_copies", F.lit(0)), ["lang"])
 
 
 def test_tool_cooccurrence_matrix(spark, duck):
